@@ -1,0 +1,305 @@
+"""Partition-level external merge sort — the vectorized OVC sort kernel.
+
+One instance of this runs inside every ``mapInPandas`` task.  Phases
+mirror the reference's ``SortIterator`` lifecycle (reference
+``Sort.cpp:21-136``):
+
+  pass 0  run formation — buffer Arrow batches up to the memory budget,
+          sort each full buffer vectorized, spill as an Arrow run file;
+          the final partial buffer stays IN MEMORY (the analogue of the
+          reference's graceful internal→external degradation, reference
+          ``DRAM.cpp:75-134``: only what exceeds memory is spilled, so
+          spill ≈ I − M when input barely overflows, cf. Test2),
+  passes 1..d-1  intermediate merges while more than B runs remain,
+          smallest runs first, initial fan-in X = (W-2) % (B-1) + 2
+          (reference ``Sort.cpp:85``, ``DRAM.cpp:460``),
+  final   lazy merge of ≤ B runs, emitted batch-by-batch on demand
+          (reference ``Sort.cpp:125-134``).
+
+Instrumentation mirrors the reference's printouts (``Sort.cpp:90-100``,
+``Sort.cpp:189-191``): W, B, X, merge depth, spill rows, pass count,
+plus comparison counts when the exact loser-tree mode is selected.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import keys as K
+from . import vmerge
+from .loser_tree import LoserTreeMerge
+from .planner import initial_fan_in, merge_depth
+from .runs import RunStore
+
+
+@dataclass
+class SortMetrics:
+    rows_in: int = 0
+    rows_out: int = 0
+    runs_formed: int = 0          # W
+    fan_in: int = 0               # B
+    initial_fan_in: int = 0       # X
+    depth: int = 0                # 1 + ceil(log_B W)
+    passes: int = 0
+    spill_rows: int = 0
+    ovc_compares: int = 0         # exact mode only
+    col_compares: int = 0         # exact mode only
+    resumed: bool = False
+    mode: str = "fast"
+    wall_ms: float = 0.0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def _sort_frame(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    """Vectorized single-buffer sort (run formation).
+
+    Uses the normalized uint64 key matrix + np.lexsort when exact, else
+    pandas' own stable sort (handles full string collation).  This is the
+    cache-run analogue of the reference's in-RAM sort
+    (reference ``DRAM.cpp:362-445``) with numpy.take instead of the
+    in-place permutation (``DRAM.cpp:338-354``).
+    """
+    if df.empty:
+        return df
+    mat, exact = K.key_matrix(df, key_cols)
+    if exact:
+        order = K.lexsort_indices(mat)
+        return df.iloc[order].reset_index(drop=True) if not _is_trivial(order) else df
+    return df.sort_values(key_cols, kind="stable", ignore_index=True)
+
+
+def _is_trivial(order: np.ndarray) -> bool:
+    return bool(len(order) == 0 or (order == np.arange(len(order))).all())
+
+
+def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
+    """Vectorized merge of sorted Arrow tables into one sorted table."""
+    if len(tables) == 1:
+        return tables[0]
+    frames = [t.to_pandas() for t in tables]
+    mats_exact = [K.key_matrix(f, key_cols) for f in frames]
+    exact = all(e for _, e in mats_exact)
+    big = pa.concat_tables(tables, promote_options="default")
+    if exact:
+        packed = [K.pack_columns(m) for m, _ in mats_exact]
+        if all(p is not None for p in packed):
+            idx = vmerge.merge_runs_packed(packed)  # O(n log k), single-int compares
+        else:
+            idx = vmerge.merge_runs_matrix([m for m, _ in mats_exact])
+        return big.take(pa.array(idx))
+    merged = pd.concat(frames, ignore_index=True).sort_values(
+        key_cols, kind="stable", ignore_index=True
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False, schema=big.schema)
+
+
+@dataclass
+class ExternalSorter:
+    """Sorts one partition's batch stream with bounded memory."""
+
+    key_cols: list[str]
+    spill_dir: str
+    memory_budget_rows: int = 1 << 20
+    batch_rows: int = 1 << 16
+    mode: str = "fast"            # "fast" | "exact" (loser tree w/ counters)
+    # When True, the final partial buffer is ALSO spilled before the run
+    # manifest commits, so the checkpoint covers every input row and a
+    # retried task can rebuild its output WITHOUT re-reading input (the
+    # north_rule's resumability).  When False, the tail stays in memory
+    # (the reference's graceful-degradation spill minimum, DRAM.cpp:75-134).
+    checkpoint_inputs: bool = False
+    metrics: SortMetrics = field(default_factory=SortMetrics)
+
+    def sort(self, batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.perf_counter()
+        self.metrics.mode = self.mode
+        store = RunStore(self.spill_dir)
+
+        resumed = RunStore.load(self.spill_dir)
+        if (
+            resumed is not None
+            and resumed[1].get("state") in ("runs_formed", "done")
+            and resumed[1].get("covers_all", False)
+            and resumed[0].runs
+        ):
+            # checkpoint hit: runs already on disk; skip re-reading input
+            store = resumed[0]
+            self.metrics.resumed = True
+            self.metrics.rows_in = resumed[1].get("rows_in", sum(r.rows for r in store.runs))
+            tail = None
+        else:
+            tail = yield from self._form_runs(batches, store)
+            if tail is _INLINE_DONE:
+                self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
+                return
+            if self.checkpoint_inputs and tail is not None and len(tail):
+                store.write_run(pa.Table.from_pandas(tail, preserve_index=False))
+                tail = None
+            store.commit(
+                "runs_formed",
+                {"rows_in": self.metrics.rows_in, "covers_all": tail is None},
+            )
+
+        yield from self._merge_all(store, tail)
+        self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
+
+    # -- pass 0 ---------------------------------------------------------------
+    def _form_runs(self, batches, store: RunStore):
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        budget = max(self.batch_rows, self.memory_budget_rows - self.batch_rows)
+        spilled_any = False
+        for b in batches:
+            if b.empty:
+                continue
+            self.metrics.rows_in += len(b)
+            buf.append(b)
+            buf_rows += len(b)
+            if buf_rows >= budget:
+                frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                run = _sort_frame(frame, self.key_cols)
+                store.write_run(pa.Table.from_pandas(run, preserve_index=False))
+                spilled_any = True
+                buf, buf_rows = [], 0
+        tail = None
+        if buf:
+            frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            tail = _sort_frame(frame, self.key_cols)
+        if not spilled_any and not self.checkpoint_inputs:
+            # internal-sort path: everything fit in memory (Sort.cpp:163-165)
+            self.metrics.runs_formed = 1 if tail is not None else 0
+            self.metrics.depth = 1
+            self.metrics.passes = 1
+            self.metrics.rows_out = 0 if tail is None else len(tail)
+            if tail is not None:
+                yield from self._emit(tail)
+            return _INLINE_DONE
+        return tail
+
+    # -- passes 1..d ------------------------------------------------------------
+    def _merge_all(self, store: RunStore, tail: pd.DataFrame | None):
+        # the in-memory tail participates as one more (unspilled) run
+        tail_tbl = (
+            pa.Table.from_pandas(tail, preserve_index=False)
+            if tail is not None and len(tail)
+            else None
+        )
+        w = len(store.runs) + (1 if tail_tbl is not None else 0)
+        b = max(2, self.memory_budget_rows // self.batch_rows - 1)
+        m = self.metrics
+        m.runs_formed = w
+        m.fan_in = b
+        m.initial_fan_in = initial_fan_in(w, b)
+        m.depth = merge_depth(w, b)
+        # intermediate merges: operate directly on the size-ordered store;
+        # first step merges only X runs (1-step→n-step degradation,
+        # Sort.cpp:85), later steps full fan-in B, smallest runs first.
+        first_step = True
+        max_gen = 0
+        while len(store.runs) + (1 if tail_tbl is not None else 0) > b:
+            take = m.initial_fan_in if first_step else min(b, len(store.runs))
+            first_step = False
+            batch = store.runs[:take]
+            tables = [store.read_run(r) for r in batch]
+            gen = 1 + max(r.generation for r in batch)
+            max_gen = max(max_gen, gen)
+            merged = _merge_tables(tables, self.key_cols)
+            store.remove_runs(batch)
+            store.write_run(merged, generation=gen)
+            store.commit(
+                "runs_formed",
+                {"rows_in": m.rows_in, "covers_all": tail_tbl is None},
+            )
+        # passes executed: formation + intermediate generations + final merge
+        m.passes = 1 + max_gen + (1 if w > 1 else 0)
+        m.spill_rows = store.spill_rows
+
+        final_tables = [store.read_run(r) for r in store.runs]
+        if tail_tbl is not None:
+            final_tables.append(tail_tbl)
+        if self.mode == "exact" and self._all_int(final_tables):
+            yield from self._final_exact(final_tables)
+        else:
+            out = _merge_tables(final_tables, self.key_cols) if final_tables else None
+            if out is not None:
+                m.rows_out += out.num_rows
+                yield from self._emit_table(out)
+        store.commit(
+            "done",
+            {
+                "rows_in": m.rows_in,
+                "covers_all": tail_tbl is None,
+                "metrics": m.as_dict(),
+            },
+        )
+
+    # -- final merge, exact loser-tree mode ------------------------------------
+    def _all_int(self, tables: list[pa.Table]) -> bool:
+        return all(
+            pa.types.is_integer(f.type)
+            for t in tables
+            for f in t.schema
+        )
+
+    def _final_exact(self, tables: list[pa.Table]):
+        """On-demand loser-tree merge with OVC counters (keys == whole row,
+        like the reference; only valid for all-integer schemas)."""
+        runs = [
+            np.column_stack([t.column(c).to_numpy() for c in t.schema.names]).astype(
+                np.int64
+            )
+            if t.num_rows
+            else np.zeros((0, len(t.schema.names)), np.int64)
+            for t in tables
+        ]
+        cols = tables[0].schema.names
+        tree = LoserTreeMerge(runs)
+        out_buf = []
+        while True:
+            row = tree.pop()
+            if row is None:
+                break
+            out_buf.append(row)
+            if len(out_buf) >= self.batch_rows:
+                yield pd.DataFrame(np.vstack(out_buf), columns=cols)
+                self.metrics.rows_out += len(out_buf)
+                out_buf = []
+        if out_buf:
+            yield pd.DataFrame(np.vstack(out_buf), columns=cols)
+            self.metrics.rows_out += len(out_buf)
+        self.metrics.ovc_compares = tree.ovc_compares
+        self.metrics.col_compares = tree.col_compares
+
+    # -- emission ---------------------------------------------------------------
+    def _emit(self, frame: pd.DataFrame):
+        for i in range(0, len(frame), self.batch_rows):
+            yield frame.iloc[i : i + self.batch_rows]
+
+    def _emit_table(self, table: pa.Table):
+        for batch in table.to_batches(max_chunksize=self.batch_rows):
+            yield pa.Table.from_batches([batch]).to_pandas()
+
+
+class _InlineDone:
+    pass
+
+
+_INLINE_DONE = _InlineDone()
+
+
+def sort_partition(
+    batches: Iterable[pd.DataFrame],
+    key_cols: list[str],
+    spill_dir: str,
+    **kw,
+) -> tuple[Iterator[pd.DataFrame], ExternalSorter]:
+    sorter = ExternalSorter(key_cols=key_cols, spill_dir=spill_dir, **kw)
+    return sorter.sort(batches), sorter

@@ -1,0 +1,87 @@
+"""Vectorized k-way merge of sorted runs (the fast production path).
+
+Design: the reference's OVC insight — "make almost every comparison a
+single machine-integer compare" (reference ``README.md:4-5``) — is
+realized vectorized: key columns are normalized to order-preserving
+``uint64`` codes (``keys.py``) and, when the total key width fits, packed
+into ONE uint64 per row.  Merging two sorted uint64 arrays then needs no
+per-row Python at all: two ``np.searchsorted`` calls compute the exact
+gather positions (a "merge path"), and k runs merge via a binary
+tournament of pairwise merges, smallest runs first (reference
+``HDD.cpp:14-27`` smallest-first policy), i.e. O(n log k) total work at
+NumPy/C speed.
+
+Falls back to a stable ``np.lexsort`` over the (n, k) key matrix when
+keys cannot pack into 64 bits, and to pandas ``sort_values`` when a key
+column is a string (prefix codes are not a total order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def merge2_positions(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Output positions for the stable merge of two sorted key arrays.
+
+    Ties: all of ``ka``'s rows come before ``kb``'s (run order = tie
+    order, like the reference tree where the earlier leaf wins equal
+    matches, reference ``TreeOfLosers.cpp:36``).
+    """
+    pos_a = np.arange(len(ka), dtype=np.int64) + np.searchsorted(kb, ka, side="left")
+    pos_b = np.arange(len(kb), dtype=np.int64) + np.searchsorted(ka, kb, side="right")
+    return pos_a, pos_b
+
+
+def merge_runs_packed(run_keys: list[np.ndarray]) -> np.ndarray:
+    """Merge k sorted packed-uint64 runs; returns gather indices into the
+    virtual concatenation of the runs (in list order).
+
+    Binary tournament, smallest pair first.  Comparisons per element are
+    O(log k) like a tree of losers, but executed as whole-array
+    searchsorted passes instead of per-row matches.
+    """
+    k = len(run_keys)
+    if k == 0:
+        return np.zeros(0, dtype=np.int64)
+    # global index ranges of each run within the concatenated payload
+    offsets = np.cumsum([0] + [len(r) for r in run_keys])
+    entries = [
+        (run_keys[i], np.arange(offsets[i], offsets[i + 1], dtype=np.int64))
+        for i in range(k)
+    ]
+    # smallest-first policy; ties by original order for stability/determinism
+    entries.sort(key=lambda e: len(e[0]))
+    while len(entries) > 1:
+        (ka, ia), (kb, ib) = entries[0], entries[1]
+        # stability on equal keys: lower global index first
+        if ia[0] > ib[0] if len(ia) and len(ib) else False:
+            (ka, ia), (kb, ib) = (kb, ib), (ka, ia)
+        pa_, pb_ = merge2_positions(ka, kb)
+        n = len(ka) + len(kb)
+        keys = np.empty(n, dtype=ka.dtype)
+        idx = np.empty(n, dtype=np.int64)
+        keys[pa_] = ka
+        keys[pb_] = kb
+        idx[pa_] = ia
+        idx[pb_] = ib
+        entries = entries[2:]
+        entries.append((keys, idx))
+        entries.sort(key=lambda e: len(e[0]))
+    return entries[0][1]
+
+
+def merge_runs_matrix(run_mats: list[np.ndarray]) -> np.ndarray:
+    """Merge k sorted runs given (n_i, c) uint64 key matrices.
+
+    Stable lexsort over the concatenation (runs listed in order keeps
+    ties in run order).  O(n log n) but fully vectorized; used when keys
+    don't pack into a single uint64.
+    """
+    if not run_mats:
+        return np.zeros(0, dtype=np.int64)
+    mat = np.vstack(run_mats)
+    if mat.shape[1] == 0:
+        return np.arange(mat.shape[0], dtype=np.int64)
+    order = np.lexsort(tuple(mat[:, j] for j in range(mat.shape[1] - 1, -1, -1)))
+    return order.astype(np.int64)

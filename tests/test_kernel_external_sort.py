@@ -1,0 +1,176 @@
+"""ExternalSorter tests: metric formulas (W/B/X/depth, reference
+Sort.cpp:75-100), spill accounting, graceful internal→external degradation
+(reference DRAM.cpp:75-134 / Test2), checkpoint resume, fast & exact modes."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from external_merge_sort_loser_tree_ovc_spark.kernel.external_sort import ExternalSorter
+from external_merge_sort_loser_tree_ovc_spark.kernel.planner import (
+    initial_fan_in,
+    merge_depth,
+    plan_merge,
+)
+from external_merge_sort_loser_tree_ovc_spark.sources.fixtures import kernel_frame
+
+
+def run_sort(tmp_path, frame, key_cols, mem, batch, mode="fast", subdir="s"):
+    sorter = ExternalSorter(
+        key_cols=key_cols,
+        spill_dir=str(tmp_path / subdir),
+        memory_budget_rows=mem,
+        batch_rows=batch,
+        mode=mode,
+    )
+    chunks = [frame.iloc[i : i + batch] for i in range(0, len(frame), batch)]
+    out = list(sorter.sort(iter(chunks)))
+    result = pd.concat(out, ignore_index=True) if out else frame.iloc[0:0]
+    return result, sorter.metrics
+
+
+def assert_sorted(df, key_cols):
+    if len(df) < 2:
+        return
+    mat = df[key_cols].to_numpy()
+    prev = mat[:-1]
+    cur = mat[1:]
+    # lexicographic non-decreasing
+    k = mat.shape[1]
+    ok = np.zeros(len(cur), dtype=bool)
+    decided = np.zeros(len(cur), dtype=bool)
+    for j in range(k):
+        lt = (prev[:, j] < cur[:, j]) & ~decided
+        gt = (prev[:, j] > cur[:, j]) & ~decided
+        ok |= lt
+        decided |= lt | gt
+    ok |= ~decided  # fully equal
+    assert ok.all(), "output not lexicographically sorted"
+
+
+def parity(df):
+    """Reference witness parity: xor over (col_i << i) (Witness.cpp:47),
+    order-independent."""
+    p = 0
+    arr = df.to_numpy(dtype=np.int64)
+    for i in range(arr.shape[1]):
+        col = arr[:, i] << min(i, 32)
+        p ^= int(np.bitwise_xor.reduce(col)) if len(col) else 0
+    return p
+
+
+@pytest.mark.parametrize(
+    "n,mem,batch",
+    [
+        (40000, 2000, 400),   # t0: multi-pass merge
+        (2300, 110, 10),      # t1: W=23,B=10,X=5
+        (22000, 20500, 500),  # t2: graceful, spill ~ I-M
+        (15000, 20500, 500),  # t3: in-memory
+        (0, 2000, 400),       # t4
+        (1, 2000, 400),       # t5
+    ],
+)
+def test_external_sort_scenarios(tmp_path, n, mem, batch):
+    frame = kernel_frame(n, 4, 7, 0, seed=11)
+    out, m = run_sort(tmp_path, frame, list(frame.columns), mem, batch)
+    assert len(out) == n == m.rows_in
+    assert parity(out) == parity(frame)
+    assert_sorted(out, list(frame.columns))
+    if n and n <= mem:
+        assert m.spill_rows == 0, "in-memory sort must not spill"
+    if n > mem:
+        w, b = m.runs_formed, m.fan_in
+        assert m.initial_fan_in == initial_fan_in(w, b)
+        assert m.depth == merge_depth(w, b)
+
+
+def test_graceful_degradation_spill_bound(tmp_path):
+    """Reference Test2: input slightly exceeds memory — only the overflow
+    spills (spill ≈ I − M), because the tail run stays in memory."""
+    n, mem, batch = 22000, 20500, 500
+    frame = kernel_frame(n, 4, 7, 0, seed=5)
+    out, m = run_sort(tmp_path, frame, list(frame.columns), mem, batch)
+    assert len(out) == n
+    # tail stays in memory: spilled rows = rows in the one full buffer
+    assert m.spill_rows == mem - batch
+    assert m.spill_rows <= n
+
+
+def test_spill_versus_passes_bound(tmp_path):
+    """README.md:7-8 cost claim: total spill ≲ passes × I."""
+    n, mem, batch = 40000, 2000, 400
+    frame = kernel_frame(n, 4, 7, 0, seed=13)
+    out, m = run_sort(tmp_path, frame, list(frame.columns), mem, batch)
+    assert m.spill_rows <= m.passes * n
+
+
+def test_exact_mode_counts_comparisons(tmp_path):
+    n, mem, batch = 8000, 1000, 100
+    frame = kernel_frame(n, 4, 10, 0, seed=17)
+    out, m = run_sort(tmp_path, frame, list(frame.columns), mem, batch, mode="exact")
+    assert len(out) == n
+    assert_sorted(out, list(frame.columns))
+    assert m.ovc_compares > 0
+    # loser tree: ~log2(B) ovc compares per pop on the final merge
+    assert m.ovc_compares <= len(out) * (math.ceil(math.log2(m.fan_in + 1)) + 2)
+    # OVC savings: column comparisons well under naive 4/compare
+    assert m.col_compares < 4 * m.ovc_compares
+
+
+def test_checkpoint_resume(tmp_path):
+    """With checkpoint_inputs=True the manifest covers every input row, so a
+    retried task rebuilds identical output from EMPTY input (north_rule
+    resumability)."""
+    n, mem, batch = 12000, 1000, 200
+    frame = kernel_frame(n, 4, 7, 0, seed=23)
+    sorter1 = ExternalSorter(
+        key_cols=list(frame.columns),
+        spill_dir=str(tmp_path / "ck"),
+        memory_budget_rows=mem,
+        batch_rows=batch,
+        checkpoint_inputs=True,
+    )
+    chunks = [frame.iloc[i : i + batch] for i in range(0, len(frame), batch)]
+    out1 = pd.concat(list(sorter1.sort(iter(chunks))), ignore_index=True)
+    assert not sorter1.metrics.resumed
+
+    # resume: pass EMPTY input — output must come entirely from checkpoint
+    sorter2 = ExternalSorter(
+        key_cols=list(frame.columns),
+        spill_dir=str(tmp_path / "ck"),
+        memory_budget_rows=mem,
+        batch_rows=batch,
+        checkpoint_inputs=True,
+    )
+    out2 = pd.concat(list(sorter2.sort(iter([]))), ignore_index=True)
+    assert sorter2.metrics.resumed
+    pd.testing.assert_frame_equal(out1, out2)
+    assert_sorted(out2, list(frame.columns))
+
+
+def test_string_keys(tmp_path):
+    rng = np.random.default_rng(3)
+    words = ["alpha", "Beta", "gamma", "ALPHA", "zeta", "η-eta", "", "alphaa"]
+    frame = pd.DataFrame(
+        {
+            "s": rng.choice(words, size=5000),
+            "v": rng.integers(0, 100, size=5000),
+        }
+    )
+    out, m = run_sort(tmp_path, frame, ["s", "v"], 1000, 100)
+    exp = frame.sort_values(["s", "v"], kind="stable", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
+def test_planner_static_schedule():
+    plan = plan_merge(sorted([100] * 23), fan_in=10)
+    assert plan.initial_fan_in == 5  # (23-2) % 9 + 2 (reference Test1)
+    assert plan.depth == 1 + math.ceil(math.log(23) / math.log(10))
+    # after X-merge: 23-5+1=19 runs; two more 10-merges -> 10 -> final
+    assert plan.steps[0].fan_in == 5
+    total_inputs = sum(len(s.run_ids) for s in plan.steps)
+    assert total_inputs >= 23 - 10
