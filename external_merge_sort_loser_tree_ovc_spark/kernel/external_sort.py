@@ -23,7 +23,10 @@ plus comparison counts when the exact loser-tree mode is selected.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+import uuid
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
 
@@ -56,6 +59,13 @@ class SortMetrics:
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
+
+
+def _fold_hash(df: pd.DataFrame) -> int:
+    """Order-independent 64-bit content fingerprint of a batch
+    (xor-folded deterministic per-row hashes)."""
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return int(np.bitwise_xor.reduce(h)) if len(h) else 0
 
 
 def _sort_frame(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
@@ -112,30 +122,84 @@ class ExternalSorter:
     mode: str = "fast"            # "fast" | "exact" (loser tree w/ counters)
     # When True, the final partial buffer is ALSO spilled before the run
     # manifest commits, so the checkpoint covers every input row and a
-    # retried task can rebuild its output WITHOUT re-reading input (the
-    # north_rule's resumability).  When False, the tail stays in memory
-    # (the reference's graceful-degradation spill minimum, DRAM.cpp:75-134).
+    # retried task can rebuild its output WITHOUT repeating the merge
+    # passes (the north_rule's resumability).  When False, the tail stays
+    # in memory (the reference's graceful-degradation spill minimum,
+    # DRAM.cpp:75-134).
     checkpoint_inputs: bool = False
+    # Resume protocol.  A committed manifest records an order-independent
+    # fingerprint of the input (row count + xor-folded row hashes).  On a
+    # rerun, input is consumed and fingerprinted again (run formation
+    # into a staging dir); if the fingerprint matches, the staged runs
+    # are discarded and the committed runs replay — merge passes are
+    # skipped; if it differs (e.g. nondeterministic upstream
+    # partitioning re-dealt the rows), the stale checkpoint is discarded
+    # and the staged runs proceed as a fresh sort.  ``resume_trust=True``
+    # skips re-reading input entirely — only safe when the caller
+    # guarantees identical partition input (e.g. deterministic
+    # partitioning, or replaying a job with no upstream available).
+    resume_trust: bool = False
     metrics: SortMetrics = field(default_factory=SortMetrics)
+    _fingerprint: int = 0
 
     def sort(self, batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.perf_counter()
         self.metrics.mode = self.mode
-        store = RunStore(self.spill_dir)
 
-        resumed = RunStore.load(self.spill_dir)
+        committed = RunStore.load(self.spill_dir)
+        candidate = None
         if (
-            resumed is not None
-            and resumed[1].get("state") in ("runs_formed", "done")
-            and resumed[1].get("covers_all", False)
-            and resumed[0].runs
+            committed is not None
+            and committed[1].get("state") in ("runs_formed", "done")
+            and committed[1].get("covers_all", False)
+            and committed[0].runs
         ):
-            # checkpoint hit: runs already on disk; skip re-reading input
-            store = resumed[0]
+            candidate = committed
+
+        if candidate is not None and self.resume_trust:
+            store = candidate[0]
             self.metrics.resumed = True
-            self.metrics.rows_in = resumed[1].get("rows_in", sum(r.rows for r in store.runs))
-            tail = None
+            self.metrics.rows_in = candidate[1].get(
+                "rows_in", sum(r.rows for r in store.runs)
+            )
+            self._fingerprint = int(candidate[1].get("fingerprint", "0"), 16)
+            yield from self._merge_all(store, None)
+            self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
+            return
+
+        if candidate is not None:
+            # verified resume: form runs in a staging dir while
+            # fingerprinting the input, then decide replay vs recompute.
+            staging = RunStore(
+                os.path.join(self.spill_dir, f"staging-{uuid.uuid4().hex}"),
+                manifest_dir=self.spill_dir,
+            )
+            tail = yield from self._form_runs(batches, staging)
+            if tail is _INLINE_DONE:
+                # inline fast path already emitted (fresh, no spill);
+                # invalidate the stale checkpoint so nobody replays it.
+                self._invalidate(candidate[0])
+                shutil.rmtree(staging.root, ignore_errors=True)
+                self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
+                return
+            if (
+                self.metrics.rows_in == candidate[1].get("rows_in")
+                and f"{self._fingerprint:016x}" == candidate[1].get("fingerprint")
+            ):
+                # identical input: replay committed runs, drop staging
+                shutil.rmtree(staging.root, ignore_errors=True)
+                store = candidate[0]
+                self.metrics.resumed = True
+                tail = None
+            else:
+                self._invalidate(candidate[0])
+                store = staging
+                if self.checkpoint_inputs and tail is not None and len(tail):
+                    store.write_run(pa.Table.from_pandas(tail, preserve_index=False))
+                    tail = None
+                store.commit("runs_formed", self._commit_extra(tail))
         else:
+            store = RunStore(self.spill_dir)
             tail = yield from self._form_runs(batches, store)
             if tail is _INLINE_DONE:
                 self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
@@ -143,13 +207,28 @@ class ExternalSorter:
             if self.checkpoint_inputs and tail is not None and len(tail):
                 store.write_run(pa.Table.from_pandas(tail, preserve_index=False))
                 tail = None
-            store.commit(
-                "runs_formed",
-                {"rows_in": self.metrics.rows_in, "covers_all": tail is None},
-            )
+            store.commit("runs_formed", self._commit_extra(tail))
 
         yield from self._merge_all(store, tail)
         self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
+
+    def _commit_extra(self, tail) -> dict:
+        return {
+            "rows_in": self.metrics.rows_in,
+            "covers_all": tail is None,
+            "fingerprint": f"{self._fingerprint:016x}",
+        }
+
+    def _invalidate(self, store: RunStore):
+        try:
+            os.remove(store.manifest_path())
+        except OSError:
+            pass
+        for r in list(store.runs):
+            try:
+                os.remove(r.path)
+            except OSError:
+                pass
 
     # -- pass 0 ---------------------------------------------------------------
     def _form_runs(self, batches, store: RunStore):
@@ -161,6 +240,7 @@ class ExternalSorter:
             if b.empty:
                 continue
             self.metrics.rows_in += len(b)
+            self._fingerprint ^= _fold_hash(b)
             buf.append(b)
             buf_rows += len(b)
             if buf_rows >= budget:
@@ -216,7 +296,11 @@ class ExternalSorter:
             store.write_run(merged, generation=gen)
             store.commit(
                 "runs_formed",
-                {"rows_in": m.rows_in, "covers_all": tail_tbl is None},
+                {
+                    "rows_in": m.rows_in,
+                    "covers_all": tail_tbl is None,
+                    "fingerprint": f"{self._fingerprint:016x}",
+                },
             )
         # passes executed: formation + intermediate generations + final merge
         m.passes = 1 + max_gen + (1 if w > 1 else 0)
@@ -237,6 +321,7 @@ class ExternalSorter:
             {
                 "rows_in": m.rows_in,
                 "covers_all": tail_tbl is None,
+                "fingerprint": f"{self._fingerprint:016x}",
                 "metrics": m.as_dict(),
             },
         )

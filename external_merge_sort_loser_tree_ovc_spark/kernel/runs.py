@@ -37,6 +37,9 @@ class RunStore:
     root: str
     spill_rows: int = 0
     runs: list[RunInfo] = field(default_factory=list)
+    # manifest may live above root (staging stores commit into the
+    # partition dir so a later resume finds one canonical manifest)
+    manifest_dir: str | None = None
 
     def __post_init__(self):
         os.makedirs(self.root, exist_ok=True)
@@ -69,7 +72,7 @@ class RunStore:
 
     # -- checkpoint ----------------------------------------------------------
     def manifest_path(self) -> str:
-        return os.path.join(self.root, "manifest.json")
+        return os.path.join(self.manifest_dir or self.root, "manifest.json")
 
     def commit(self, state: str, extra: dict | None = None):
         doc = {

@@ -1,0 +1,153 @@
+"""Distributed external sort: range partition + per-partition OVC kernel.
+
+The Spark mapping of the reference's Sort operator (SURVEY §1.3 / §3.4):
+
+  repartitionByRange(keys)   — the shuffle takes the role of the
+                               reference's process boundary/HDD transfer,
+  mapInPandas(kernel)        — each task runs the vectorized OVC
+                               loser-tree external sort (kernel/) over its
+                               Arrow batch stream, spilling to
+                               executor-local run files,
+  partition order            — range partitions are emitted in key order,
+                               so partition-sorted output is globally
+                               sorted (same contract as df.orderBy).
+
+Skew: ``salted_repartition_by_range`` adds a salt column so a single hot
+key (one H3 cell with half the planet's pages) splits across adjacent
+range partitions; the per-partition sort keeps the global (key, salt)
+order contiguous, which downstream cell-merge operators re-unify — this
+is exactly the reference's multi-run merge reused at the partition level
+(SURVEY §7 risk list).
+
+At 100 TB: the kernel only ever holds ``memory_budget_rows`` rows plus
+one Arrow batch in memory per task; everything else is spilled run files,
+so partition sizing is governed by disk, not RAM.  AQE remains enabled as
+a backstop, but the salt is explicit per north_rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.external_sort import ExternalSorter
+
+DEFAULT_BUDGET_ROWS = 1 << 20
+DEFAULT_BATCH_ROWS = 1 << 16
+
+
+def _partition_kernel(
+    key_cols, budget, batch_rows, mode, checkpoint_dir, metrics_dir, checkpoint_inputs
+):
+    """Build the mapInPandas function (must be picklable, import-light)."""
+
+    def run(iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if checkpoint_dir:
+            spill = os.path.join(checkpoint_dir, f"partition={pid:05d}")
+            cleanup = False
+        else:
+            spill = tempfile.mkdtemp(prefix=f"emsort-p{pid}-")
+            cleanup = True
+        sorter = ExternalSorter(
+            key_cols=list(key_cols),
+            spill_dir=spill,
+            memory_budget_rows=budget,
+            batch_rows=batch_rows,
+            mode=mode,
+            checkpoint_inputs=checkpoint_inputs,
+        )
+        try:
+            yield from sorter.sort(iterator)
+        finally:
+            if metrics_dir:
+                os.makedirs(metrics_dir, exist_ok=True)
+                doc = sorter.metrics.as_dict()
+                doc["partition_id"] = pid
+                doc["attempt"] = ctx.attemptNumber() if ctx is not None else 0
+                tmp = os.path.join(metrics_dir, f".tmp-{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    json.dump(doc, f)
+                os.replace(tmp, os.path.join(metrics_dir, f"partition-{pid:05d}.json"))
+            if cleanup:
+                shutil.rmtree(spill, ignore_errors=True)
+
+    return run
+
+
+def external_sort_df(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    num_partitions: int | None = None,
+    memory_budget_rows: int = DEFAULT_BUDGET_ROWS,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    mode: str = "fast",
+    checkpoint_dir: str | None = None,
+    skip_shuffle: bool = False,
+) -> DataFrame:
+    """Globally sort ``df`` by ``keys`` (ascending, nulls first) using the
+    OVC kernel.  Functionally equivalent to ``df.orderBy(*keys)`` — the
+    pytest suite asserts exactly that — but executes the sort in our
+    instrumented kernel with spill/merge metrics and optional
+    checkpoint/resume.
+
+    ``skip_shuffle=True`` sorts within existing partitions only (useful
+    after an upstream salted range partition).
+    """
+    if not skip_shuffle:
+        n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartitionByRange(n, *[F.col(k) for k in keys])
+    metrics_dir = os.path.join(checkpoint_dir, "_metrics") if checkpoint_dir else None
+    fn = _partition_kernel(
+        keys,
+        memory_budget_rows,
+        batch_rows,
+        mode,
+        checkpoint_dir,
+        metrics_dir,
+        checkpoint_inputs=checkpoint_dir is not None,
+    )
+    return df.mapInPandas(fn, schema=df.schema)
+
+
+def salted_repartition_by_range(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    salt_buckets: int = 8,
+    num_partitions: int | None = None,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Range partition on (keys..., salt) so hot keys split across
+    partitions while global key order stays contiguous.
+
+    The salt is a deterministic hash of the whole row (xxhash64 of all
+    columns) mod ``salt_buckets`` — task-retry idempotent, unlike
+    ``rand()``.  Equal keys land in up to ``salt_buckets`` adjacent range
+    partitions; a downstream per-key merge (groupBy or the kernel's
+    multi-run merge) re-unifies them.
+    """
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salted = df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    parted = salted.repartitionByRange(n, *[F.col(k) for k in keys], F.col(salt_col))
+    return parted.drop(salt_col)
+
+
+def read_lineage(spark, checkpoint_dir: str) -> DataFrame:
+    """Per-partition lineage/metrics table for a checkpointed sort run —
+    the north_rule's 'per-partition lineage + metrics'.  One row per
+    partition: rows in/out, runs (W), fan-in (B), X, depth, passes,
+    spill rows, comparison counts, resume flag."""
+    path = os.path.join(checkpoint_dir, "_metrics")
+    return spark.read.json(f"file://{path}/partition-*.json")

@@ -119,35 +119,79 @@ def test_exact_mode_counts_comparisons(tmp_path):
     assert m.col_compares < 4 * m.ovc_compares
 
 
-def test_checkpoint_resume(tmp_path):
-    """With checkpoint_inputs=True the manifest covers every input row, so a
-    retried task rebuilds identical output from EMPTY input (north_rule
-    resumability)."""
+def _ck_sorter(tmp_path, frame, mem, batch, **kw):
+    return ExternalSorter(
+        key_cols=list(frame.columns),
+        spill_dir=str(tmp_path / "ck"),
+        memory_budget_rows=mem,
+        batch_rows=batch,
+        checkpoint_inputs=True,
+        **kw,
+    )
+
+
+def _chunks(frame, batch):
+    return iter([frame.iloc[i : i + batch] for i in range(0, len(frame), batch)])
+
+
+def test_checkpoint_resume_verified(tmp_path):
+    """Verified resume: identical re-fed input -> replay committed runs
+    (merge passes skipped); the manifest fingerprint gates it."""
     n, mem, batch = 12000, 1000, 200
     frame = kernel_frame(n, 4, 7, 0, seed=23)
-    sorter1 = ExternalSorter(
-        key_cols=list(frame.columns),
-        spill_dir=str(tmp_path / "ck"),
-        memory_budget_rows=mem,
-        batch_rows=batch,
-        checkpoint_inputs=True,
-    )
-    chunks = [frame.iloc[i : i + batch] for i in range(0, len(frame), batch)]
-    out1 = pd.concat(list(sorter1.sort(iter(chunks))), ignore_index=True)
-    assert not sorter1.metrics.resumed
+    s1 = _ck_sorter(tmp_path, frame, mem, batch)
+    out1 = pd.concat(list(s1.sort(_chunks(frame, batch))), ignore_index=True)
+    assert not s1.metrics.resumed
 
-    # resume: pass EMPTY input — output must come entirely from checkpoint
-    sorter2 = ExternalSorter(
-        key_cols=list(frame.columns),
-        spill_dir=str(tmp_path / "ck"),
-        memory_budget_rows=mem,
-        batch_rows=batch,
-        checkpoint_inputs=True,
-    )
-    out2 = pd.concat(list(sorter2.sort(iter([]))), ignore_index=True)
-    assert sorter2.metrics.resumed
+    s2 = _ck_sorter(tmp_path, frame, mem, batch)
+    out2 = pd.concat(list(s2.sort(_chunks(frame, batch))), ignore_index=True)
+    assert s2.metrics.resumed
     pd.testing.assert_frame_equal(out1, out2)
     assert_sorted(out2, list(frame.columns))
+
+
+def test_checkpoint_resume_trusted_empty_input(tmp_path):
+    """resume_trust=True rebuilds from the manifest without any input."""
+    n, mem, batch = 6000, 1000, 200
+    frame = kernel_frame(n, 4, 7, 0, seed=29)
+    s1 = _ck_sorter(tmp_path, frame, mem, batch)
+    out1 = pd.concat(list(s1.sort(_chunks(frame, batch))), ignore_index=True)
+    s2 = _ck_sorter(tmp_path, frame, mem, batch, resume_trust=True)
+    out2 = pd.concat(list(s2.sort(iter([]))), ignore_index=True)
+    assert s2.metrics.resumed
+    pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_checkpoint_rejects_changed_input(tmp_path):
+    """If the re-fed input differs (nondeterministic upstream
+    partitioning), the stale checkpoint must NOT replay — the kernel
+    recomputes from the new input."""
+    n, mem, batch = 6000, 1000, 200
+    frame1 = kernel_frame(n, 4, 7, 0, seed=31)
+    s1 = _ck_sorter(tmp_path, frame1, mem, batch)
+    pd.concat(list(s1.sort(_chunks(frame1, batch))), ignore_index=True)
+
+    frame2 = kernel_frame(n - 500, 4, 7, 0, seed=32)
+    s2 = ExternalSorter(
+        key_cols=list(frame2.columns),
+        spill_dir=str(tmp_path / "ck"),
+        memory_budget_rows=mem,
+        batch_rows=batch,
+        checkpoint_inputs=True,
+    )
+    out2 = pd.concat(list(s2.sort(_chunks(frame2, batch))), ignore_index=True)
+    assert not s2.metrics.resumed
+    assert len(out2) == n - 500
+    exp = frame2.sort_values(list(frame2.columns), kind="stable", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out2.sort_values(list(out2.columns), ignore_index=True),
+        exp.sort_values(list(exp.columns), ignore_index=True),
+    )
+    # and a third run with frame2 again DOES resume from the new manifest
+    s3 = _ck_sorter(tmp_path, frame2, mem, batch)
+    out3 = pd.concat(list(s3.sort(_chunks(frame2, batch))), ignore_index=True)
+    assert s3.metrics.resumed
+    assert_sorted(out3, list(frame2.columns))
 
 
 def test_string_keys(tmp_path):
