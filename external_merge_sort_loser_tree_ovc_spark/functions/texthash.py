@@ -1,0 +1,173 @@
+"""Shared text-hash formulas, generated for BOTH Spark SQL and DuckDB.
+
+Every text operator in this engine (minhash, simhash, fingerprint,
+lang-id, quality) is defined by ONE arithmetic formula emitted in two
+SQL dialects: the Spark side runs it as built-in Catalyst expressions
+(JVM, WholeStageCodegen — the fast path; no Python at all), and the
+DuckDB side is the driver's correctness oracle.  Because both engines
+evaluate the identical integer arithmetic, results match bit-for-bit.
+
+Word hash: ``whash(w) = (sum_{i=1..8} ascii(substr(w,i,1)) * 31^(i-1))
+mod P`` with P = 2^31 - 1.  ``ascii`` of an out-of-range position is 0
+in both engines (verified), so words shorter than 8 chars hash cleanly.
+
+The reference repo has no scalar function surface at all (SURVEY.md
+§2.2) — this module is part of the training-data-pipeline layer the
+task mandates on top of the sort/merge core.
+"""
+
+from __future__ import annotations
+
+P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+# minhash permutation params (fixed, deterministic)
+MINHASH_A = [1103515245, 1103245, 12345, 1013904223, 22695477, 1664525, 69069, 75]
+MINHASH_B = [12345, 1013904223, 1103515245, 22695477, 69069, 1664525, 75, 1103245]
+N_SIG = 8
+N_BANDS = 4  # bands of 2 signatures each
+SIMHASH_BITS = 16
+FP_STEP = 1_000_003  # fingerprint positional multiplier
+
+STOPWORDS = (
+    "the of and to in a is that for it with as was on be at by this had not are but".split()
+)
+
+
+class Dialect:
+    """Tiny dialect shim: spark vs duckdb differences only."""
+
+    def __init__(self, name: str):
+        assert name in ("spark", "duckdb")
+        self.name = name
+
+    def split(self, col: str) -> str:
+        return (
+            f"split({col}, ' ')" if self.name == "spark" else f"string_split({col}, ' ')"
+        )
+
+    def transform(self, arr: str, var: str, body: str) -> str:
+        return (
+            f"transform({arr}, {var} -> {body})"
+            if self.name == "spark"
+            else f"list_transform({arr}, {var} -> {body})"
+        )
+
+    def transform_idx(self, arr: str, var: str, idxvar: str, body_1based: str) -> str:
+        """body is written against a 1-based index name {idxvar}."""
+        if self.name == "duckdb":
+            return f"list_transform({arr}, ({var}, {idxvar}) -> {body_1based})"
+        # spark's lambda index is 0-based -> substitute (i+1)
+        body = body_1based.replace(idxvar, f"({idxvar} + 1)")
+        return f"transform({arr}, ({var}, {idxvar}) -> {body})"
+
+    def arr_min(self, arr: str) -> str:
+        return f"array_min({arr})" if self.name == "spark" else f"list_min({arr})"
+
+    def arr_sum(self, arr: str) -> str:
+        if self.name == "spark":
+            return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, el) -> acc + el)"
+        return f"CAST(list_sum({arr}) AS BIGINT)"
+
+    def arr_filter(self, arr: str, var: str, body: str) -> str:
+        return (
+            f"filter({arr}, {var} -> {body})"
+            if self.name == "spark"
+            else f"list_filter({arr}, {var} -> {body})"
+        )
+
+    def size(self, arr: str) -> str:
+        return f"size({arr})" if self.name == "spark" else f"len({arr})"
+
+    def shr(self, x: str, k: int) -> str:
+        return f"shiftright({x}, {k})" if self.name == "spark" else f"({x} >> {k})"
+
+    def band(self, x: str, y: str) -> str:  # bitwise and
+        return f"({x} & {y})"
+
+
+def whash_sql(w: str) -> str:
+    """The 8-char polynomial word hash (dialect-independent)."""
+    terms = [
+        f"CAST(ascii(substr({w}, {i + 1}, 1)) AS BIGINT) * CAST({31 ** i} AS BIGINT)"
+        for i in range(8)
+    ]
+    return f"((({' + '.join(terms)}) % {P}))"
+
+
+def whash_arr(d: Dialect, text_col: str) -> str:
+    """Array of word hashes for a text column."""
+    return d.transform(d.split(text_col), "w", f"CAST({whash_sql('w')} AS BIGINT)")
+
+
+def minhash_sig_sql(d: Dialect, wh_arr: str, j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return d.arr_min(d.transform(wh_arr, "h", f"({a} * h + {b}) % {P}"))
+
+
+def simhash_sql(d: Dialect, wh_arr: str) -> str:
+    """16-bit simhash: bit j set iff sum over words of ±1 (by bit j of
+    whash) is > 0."""
+    parts = []
+    for j in range(SIMHASH_BITS):
+        bit = d.band(d.shr("h", j), "1")
+        s = d.arr_sum(d.transform(wh_arr, "h", f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"))
+        parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def fingerprint_sql(d: Dialect, wh_arr: str) -> str:
+    """Order-dependent document fingerprint:
+    (sum_i (whash_i + (i-1)*FP_STEP) % P) % P, i 1-based."""
+    # idxvar must not collide with any other token in the body (the spark
+    # dialect rewrites it textually to 0-based)
+    terms = d.transform_idx(wh_arr, "h", "ixv", f"(h + (ixv - 1) * {FP_STEP}) % {P}")
+    return f"({d.arr_sum(terms)} % {P})"
+
+
+def token_count_sql(d: Dialect, text_col: str) -> str:
+    return f"CAST({d.size(d.split(text_col))} AS BIGINT)"
+
+
+def stopword_count_sql(d: Dialect, text_col: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"CAST({d.size(d.arr_filter(d.split(text_col), 'w', f'w IN ({lst})'))} AS BIGINT)"
+
+
+def lang_id_sql(d: Dialect, text_col: str) -> str:
+    """Stopword-ratio heuristic language id: >= 15% English stopwords
+    -> 'en' else 'other'.  (A real n-gram model plugs in the same way.)"""
+    sw = stopword_count_sql(d, text_col)
+    tok = token_count_sql(d, text_col)
+    return f"(CASE WHEN CAST({sw} AS DOUBLE) / {tok} >= 0.15 THEN 'en' ELSE 'other' END)"
+
+
+def quality_score_sql(d: Dialect, text_col: str) -> str:
+    """Deterministic quality score from length / token stats:
+    tokens, mean word length, and a stopword-ratio factor combined into
+    one double.  Identical IEEE arithmetic in both engines."""
+    tok = token_count_sql(d, text_col)
+    sw = stopword_count_sql(d, text_col)
+    chars = f"CAST(length({text_col}) AS DOUBLE)"
+    return (
+        f"(CAST({tok} AS DOUBLE) / ({chars} + 1.0)"
+        f" + CAST({sw} AS DOUBLE) / ({tok} + 1.0))"
+    )
+
+
+def lsh_band_sql(sig_cols: list[str], band: int) -> str:
+    """Band value packs 2 adjacent signatures: sig[2b]*P + sig[2b+1]."""
+    a, b = sig_cols[2 * band], sig_cols[2 * band + 1]
+    return f"({a} * CAST({P} AS BIGINT) + {b})"
+
+
+# --- NumPy twin (used by kernel-side paths + property tests) ---------------
+
+def whash_np(words) -> "np.ndarray":
+    import numpy as np
+
+    out = np.zeros(len(words), dtype=np.int64)
+    for k, w in enumerate(words):  # test-only helper; engine path is SQL
+        h = 0
+        for i, ch in enumerate(w[:8]):
+            h += ord(ch) * 31**i
+        out[k] = h % P
+    return out

@@ -1,0 +1,200 @@
+"""Text / dedup / similarity / multimodal operator tests.
+
+Every oracle-gated operator is cross-checked here exactly the way the
+driver does it: run the Spark DataFrame op AND the generated DuckDB SQL
+on the same parquet, compare values column-by-name.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    return con.sql(sql).df()
+
+
+def _cmp(spark_df, oracle_pdf, sort_cols):
+    got = spark_df.toPandas().sort_values(sort_cols, ignore_index=True)
+    exp = oracle_pdf.sort_values(sort_cols, ignore_index=True)
+    assert list(got.columns) == list(exp.columns) or set(got.columns) == set(exp.columns)
+    exp = exp[got.columns.tolist()]
+    assert len(got) == len(exp), f"rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c].to_numpy(), exp[c].to_numpy()
+        if g.dtype.kind == "f":
+            assert np.allclose(g.astype(float), e.astype(float), rtol=0, atol=0), c
+        else:
+            assert (g == e).all(), c
+    return got
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def test_whash_np_matches_sql():
+    from external_merge_sort_loser_tree_ovc_spark.functions import texthash as T
+
+    words = ["the", "a", "", "abcdefghijk", "Zz9 ~"]
+    expect = T.whash_np(words)
+    pdf = pd.DataFrame({"w": words})
+    duckdb.register("wtab", pdf)
+    got = duckdb.sql(f"SELECT {T.whash_sql('w')} AS h FROM wtab").fetchnumpy()["h"]
+    assert (got == expect).all()
+
+
+def test_text_features_vs_oracle(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.textops import (
+        text_features_oracle_sql,
+        with_text_features,
+    )
+
+    got = with_text_features(docs.select("doc_id", "text")).drop("text")
+    exp = _duck(text_features_oracle_sql("documents", "doc_id"))
+    out = _cmp(got, exp, ["doc_id"])
+    assert out.token_count.min() >= 1
+    assert set(out.lang_pred.unique()) <= {"en", "other"}
+
+
+def test_exact_dedup_vs_oracle(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        exact_dedup_oracle_sql,
+        exact_dedup_survivors,
+    )
+
+    got = exact_dedup_survivors(docs, "doc_id")
+    exp = _duck(exact_dedup_oracle_sql("documents", "doc_id"))
+    _cmp(got, exp, ["survivor_id"])
+
+
+def test_minhash_lsh_vs_oracle(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        minhash_lsh_oracle_sql,
+        minhash_lsh_pairs,
+    )
+
+    got = minhash_lsh_pairs(docs, "doc_id")
+    exp = _duck(minhash_lsh_oracle_sql("documents", "doc_id"))
+    out = _cmp(got, exp, ["id_a", "id_b"])
+    # sanity: exact duplicate texts must be LSH candidates
+    dups = _duck(
+        "SELECT MIN(doc_id) AS a, MAX(doc_id) AS b FROM documents "
+        "GROUP BY text HAVING COUNT(*) > 1"
+    )
+    if len(dups):
+        pairs = set(zip(out.id_a, out.id_b))
+        for a, b in zip(dups.a, dups.b):
+            assert (a, b) in pairs
+
+
+def test_simhash_pairs_vs_oracle(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        simhash_pairs,
+        simhash_pairs_oracle_sql,
+    )
+
+    got = simhash_pairs(docs, "doc_id")
+    exp = _duck(simhash_pairs_oracle_sql("documents", "doc_id"))
+    _cmp(got, exp, ["id_a", "id_b"])
+
+
+def test_ngram_jaccard_vs_oracle(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        ngram_jaccard_oracle_sql,
+        ngram_jaccard_pairs,
+    )
+
+    got = ngram_jaccard_pairs(docs, "doc_id")
+    exp = _duck(ngram_jaccard_oracle_sql("documents", "doc_id"))
+    out = _cmp(got, exp, ["id_a", "id_b"])
+    assert len(out) > 0  # duplicates exist in the fixture corpus
+
+
+def test_ann_topk_vs_oracle(spark, emb):
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_topk,
+        ann_topk_oracle_sql,
+    )
+
+    qids = [0, 7, 21, 42]
+    got = ann_topk(emb, qids, k=5)
+    exp = _duck(ann_topk_oracle_sql("embeddings", qids, 5))
+    _cmp(got, exp, ["query_id", "rank"])
+
+
+def test_neardup_pairs_vs_oracle(spark, emb):
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_oracle_sql,
+        neardup_pairs,
+    )
+
+    # pick a threshold that yields a non-trivial, non-huge pair set
+    thr = int(
+        _duck(neardup_oracle_sql("embeddings", 10**18))["dist2"].quantile(0.001)
+    )
+    got = neardup_pairs(emb, thr)
+    exp = _duck(neardup_oracle_sql("embeddings", thr))
+    out = _cmp(got, exp, ["id_a", "id_b"])
+    assert len(out) > 0
+
+
+def test_ann_lsh_recall(spark, emb):
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_lsh_bucketed,
+        ann_topk,
+    )
+
+    qids = [0, 7, 21, 42, 63]
+    exact = ann_topk(emb, qids, k=5).toPandas()
+    approx = ann_lsh_bucketed(emb, qids, k=5, n_planes=4).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_media_metadata_vs_oracle(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.multimodal import (
+        media_metadata,
+        media_metadata_oracle_sql,
+    )
+    from pyspark.sql import functions as F
+
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    got = media_metadata(media, "payload", "doc_id")
+    exp = _duck(
+        media_metadata_oracle_sql("documents", "encode(text)", "doc_id")
+    )
+    _cmp(got, exp, ["doc_id"])
+
+
+def test_decode_media_stub(spark, docs):
+    from external_merge_sort_loser_tree_ovc_spark.functions.multimodal import (
+        decode_media,
+        frame_sample,
+    )
+    from pyspark.sql import functions as F
+
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with pytest.raises(NotImplementedError):
+        decode_media(media, "payload", "doc_id")
+    out = decode_media(media, "payload", "doc_id", allow_fake=True).toPandas()
+    assert len(out) == docs.count()
+    assert out.features.map(len).eq(4).all()
+    frames = frame_sample(media, "payload", "doc_id", allow_fake=True).toPandas()
+    assert len(frames) >= docs.count()
+    assert (frames.frame_bytes >= 1).all()
