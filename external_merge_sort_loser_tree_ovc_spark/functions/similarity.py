@@ -123,13 +123,22 @@ def ann_topk(
 
 
 def ann_topk_oracle_sql(
-    table: str, query_ids: list[int], k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    table: str,
+    query_ids: list[int] | None,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str | None = None,
 ) -> str:
-    ids = ", ".join(str(int(q)) for q in query_ids)
+    """Oracle over either an explicit id list or a predicate string."""
+    if query_pred is None:
+        ids = ", ".join(str(int(q)) for q in query_ids)
+        query_pred = f"{id_col} IN ({ids})"
     qe = _quant_expr_duck(vec_col)
     return f"""
 WITH qv AS (
-  SELECT {id_col} AS query_id, {qe} AS e FROM {table} WHERE {id_col} IN ({ids})
+  SELECT {id_col} AS query_id, {qe} AS e FROM {table} WHERE {query_pred}
 ),
 pv AS (SELECT {id_col} AS neighbor_id, {qe} AS e FROM {table}),
 d AS (

@@ -98,9 +98,33 @@ def whash_arr(d: Dialect, text_col: str) -> str:
     return d.transform(d.split(text_col), "w", f"CAST({whash_sql('w')} AS BIGINT)")
 
 
-def minhash_sig_sql(d: Dialect, wh_arr: str, j: int) -> str:
+def shingle_arr_sql(d: Dialect, text_col: str) -> str:
+    """3-word shingle hashes: sh_i = (wh_i + K1*wh_{i+1} + K2*wh_{i+2})
+    mod P over the word-hash array.  Much more discriminative than
+    single-word hashing (small vocabularies collide otherwise).
+    Texts with < 3 words produce an empty array -> NULL minhash sig in
+    BOTH engines (consistent)."""
+    if d.name == "duckdb":
+        s = f"string_split({text_col}, ' ')"
+        wh_at = lambda idx: f"{whash_sql(f'{s}[{idx}]')}"  # noqa: E731
+        return (
+            f"list_transform(list_slice({s}, 1, len({s}) - 2), (w0, ixv) -> "
+            f"({whash_sql('w0')} + 31 * {wh_at('ixv + 1')} "
+            f"+ 961 * {wh_at('ixv + 2')}) % {P})"
+        )
+    s = f"split({text_col}, ' ')"
+    wh_at = lambda idx: f"{whash_sql(f'element_at({s}, {idx})')}"  # noqa: E731
+    # spark lambda index is 0-based; element_at is 1-based
+    return (
+        f"transform(slice({s}, 1, size({s}) - 2), (w0, ixv) -> "
+        f"({whash_sql('w0')} + 31 * {wh_at('ixv + 2')} "
+        f"+ 961 * {wh_at('ixv + 3')}) % {P})"
+    )
+
+
+def minhash_sig_sql(d: Dialect, sh_arr: str, j: int) -> str:
     a, b = MINHASH_A[j], MINHASH_B[j]
-    return d.arr_min(d.transform(wh_arr, "h", f"({a} * h + {b}) % {P}"))
+    return d.arr_min(d.transform(sh_arr, "h", f"({a} * h + {b}) % {P}"))
 
 
 def simhash_sql(d: Dialect, wh_arr: str) -> str:

@@ -51,19 +51,24 @@ FROM {table}
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds s0..s{J-1} minhash signature columns (built-in exprs)."""
-    wh = T.whash_arr(_SPARK, text_col)
-    cols = ["*"] + [
-        F.expr(T.minhash_sig_sql(_SPARK, wh, j)).alias(f"s{j}") for j in range(T.N_SIG)
+    """Adds s0..s{J-1} minhash signature columns over 3-word shingles
+    (built-in exprs; the shingle array is computed once per row)."""
+    sh = T.shingle_arr_sql(_SPARK, text_col)
+    staged = df.withColumn("_sh", F.expr(sh))
+    cols = [c for c in df.columns] + [
+        F.expr(T.minhash_sig_sql(_SPARK, "_sh", j)).alias(f"s{j}")
+        for j in range(T.N_SIG)
     ]
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 def minhash_oracle_select(table: str, id_col: str, text_col: str = "text") -> str:
     """SELECT id, s0.. sJ  (DuckDB dialect), reusable as a CTE body."""
     d = _DUCK
-    wh = T.whash_arr(d, text_col)
     sigs = ", ".join(
-        f"{T.minhash_sig_sql(d, wh, j)} AS s{j}" for j in range(T.N_SIG)
+        f"{T.minhash_sig_sql(d, '_sh', j)} AS s{j}" for j in range(T.N_SIG)
     )
-    return f"SELECT {id_col}, {sigs} FROM {table}"
+    return (
+        f"SELECT {id_col}, {sigs} FROM "
+        f"(SELECT {id_col}, {T.shingle_arr_sql(d, text_col)} AS _sh FROM {table})"
+    )

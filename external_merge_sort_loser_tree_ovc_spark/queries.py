@@ -1,0 +1,558 @@
+"""Query registry: every operator exposed as (spark_query, oracle_sql).
+
+This is the engine's public face for the driver's correctness gate:
+``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame`` and
+``ORACLES[name]`` the ANSI/DuckDB SQL computing the same answer over
+the same parquet tables.  Column names and types are aligned pairwise;
+all gate-facing aggregates are integer-exact (cents / quantized / count)
+so value hashes cannot drift on float summation order.
+
+Geo derivation: the driver tables carry no coordinates, so documents
+get a deterministic integer fine-grid position derived from doc_id with
+modular arithmetic *shared verbatim* between both dialects:
+
+    xi = (doc_id * 48271) % 3600      (fine-grid x, 0.1-degree cells)
+    yi = (doc_id * 16807) % 1800      (fine-grid y)
+    lon = xi / 10.0 - 180.0           (float geocode stub)
+    lat = yi / 10.0 - 90.0
+
+Scale intent per query is noted inline — partitioning, broadcast
+choices, and shuffle counts are the design, not an accident.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions import texthash as T
+from .functions.dedup import (
+    exact_dedup_oracle_sql,
+    exact_dedup_survivors,
+    minhash_lsh_oracle_sql,
+    minhash_lsh_pairs,
+    ngram_jaccard_oracle_sql,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_pairs_oracle_sql,
+)
+from .functions.multimodal import media_metadata, media_metadata_oracle_sql
+from .functions.similarity import (
+    ann_lsh_bucketed,
+    ann_topk,
+    ann_topk_oracle_sql,
+    neardup_oracle_sql,
+    neardup_pairs,
+)
+from .functions.textops import text_features_oracle_sql, with_text_features
+from .operators.sort import external_sort_df
+from .operators.witness import sortedness_report
+from .spatial import cells
+from .spatial.knn import knn_join, knn_oracle_sql
+from .spatial.ops import pip_join, polygon_tiles_df, with_grid, with_morton, with_tile
+from .spatial.pip import default_polygons
+
+# ---------------------------------------------------------------------------
+# constants shared by engine + oracle
+# ---------------------------------------------------------------------------
+
+XI_SQL = "((doc_id * 48271) % 3600)"
+YI_SQL = "((doc_id * 16807) % 1800)"
+LON_SQL = f"({XI_SQL} / 10.0 - 180.0)"
+LAT_SQL = f"({YI_SQL} / 10.0 - 90.0)"
+CELL_RES = 7
+TILE_ZOOM = 5
+KNN_K = 5
+KNN_SHIFT = 8  # index cell span = 256 fine units
+KNN_QUERY_MOD = 29
+ANN_K = 5
+ANN_QUERY_MOD = 50
+NEARDUP_DIST2 = 1_100_000
+SORT_KEYS = ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
+PARITY_SQL = (
+    "bit_xor(l_orderkey * 1000003 + CAST(l_linenumber AS BIGINT) * 7919 + l_partkey)"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + derived integer grid position and float geocode."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .withColumn("xi", F.expr(XI_SQL))
+        .withColumn("yi", F.expr(YI_SQL))
+        .withColumn("lon", F.expr(LON_SQL))
+        .withColumn("lat", F.expr(LAT_SQL))
+    )
+
+
+def _cents(expr: str) -> str:
+    """Integer cents of a float money expression — identical in both
+    dialects, exact under summation."""
+    return f"CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# sort/merge core (the reference's operator set)
+# ---------------------------------------------------------------------------
+
+def q_sort_lineitem(spark, sf_dir):
+    """Reference Sort via the OVC loser-tree kernel (SURVEY §2.1):
+    range partition on the key -> per-partition external merge sort.
+    Content equality vs the oracle; sortedness is asserted by
+    q_sort_witness and pytest."""
+    df = _read(spark, sf_dir, "lineitem")
+    return external_sort_df(df, SORT_KEYS, num_partitions=8)
+
+
+def q_sort_witness(spark, sf_dir):
+    """Reference Witness (Witness.cpp:39-63): rows in == rows out,
+    order-independent parity preserved, zero inversions in the output.
+    The engine *computes* inversions over its own sorted output; the
+    oracle asserts the expected values."""
+    df = _read(spark, sf_dir, "lineitem")
+    out = external_sort_df(df, SORT_KEYS, num_partitions=8)
+    rep = sortedness_report(out, SORT_KEYS)
+    inv = int(rep.inversions.sum())
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.expr(PARITY_SQL).alias("parity"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg["rows"]), int(agg["parity"]), inv)],
+        "rows bigint, parity bigint, inversions bigint",
+    )
+
+
+def q_filter_scan(spark, sf_dir):
+    """Reference Filter (Filter.cpp:49-52): one predicate, projection.
+    Catalyst pushes both into the parquet scan."""
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """Top-k: global top-100 orders (ORDER BY ... LIMIT) with
+    deterministic tie-break — TakeOrderedAndProject, no full sort."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial suite (north_rule operators)
+# ---------------------------------------------------------------------------
+
+def q_cell_assign(spark, sf_dir):
+    """H3/S2-analogue cell + Morton + raster tile assignment — all
+    built-in exprs, fully codegen'd, no shuffle."""
+    geo = _docs_geo(spark, sf_dir)
+    out = with_morton(with_grid(geo, "lat", "lon", CELL_RES))
+    out = with_tile(out, "lat", "lon", TILE_ZOOM)
+    return out.select("doc_id", "xi", "yi", "xg", "yg", "cell", "morton", "tile_id")
+
+
+def q_cell_counts(spark, sf_dir):
+    """Pages per cell (partial agg -> single shuffle on cell key)."""
+    geo = with_grid(_docs_geo(spark, sf_dir), "lat", "lon", CELL_RES)
+    return geo.groupBy("cell").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+def q_pip_join(spark, sf_dir):
+    """Point-in-polygon join: broadcast cell cover + exact ray cast."""
+    return pip_join(
+        _docs_geo(spark, sf_dir), default_polygons(), res=6, keep_cols=["doc_id"]
+    ).select("doc_id", F.col("poly_id").cast("bigint").alias("poly_id"))
+
+
+def q_knn(spark, sf_dir):
+    """kNN via cell-ring expansion (integer metric, exact)."""
+    geo = _docs_geo(spark, sf_dir).select("doc_id", "xi", "yi")
+    queries = geo.filter(F.col("doc_id") % KNN_QUERY_MOD == 0)
+    return knn_join(
+        geo.withColumnRenamed("doc_id", "point_id"),
+        queries.withColumnRenamed("doc_id", "query_id"),
+        KNN_K,
+        index_shift=KNN_SHIFT,
+    )
+
+
+def q_raster_tiles(spark, sf_dir):
+    """Raster tiling: pages per tile at TILE_ZOOM."""
+    t = with_tile(_docs_geo(spark, sf_dir), "lat", "lon", TILE_ZOOM)
+    return t.groupBy("tile_x", "tile_y", "tile_id").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+
+
+def q_raster_vector(spark, sf_dir):
+    """Raster-tile <-> vector assignment: tiles covered by each polygon."""
+    return polygon_tiles_df(spark, default_polygons(), TILE_ZOOM)
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_survivors(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_pairs(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_text_features(spark, sf_dir):
+    return with_text_features(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
+    return ann_topk(emb, qids, ANN_K)
+
+
+def q_ann_neardup(spark, sf_dir):
+    return neardup_pairs(_read(spark, sf_dir, "embeddings"), NEARDUP_DIST2)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN (recall < 1 by design) — rows-only check."""
+    emb = _read(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
+    return ann_lsh_bucketed(emb, qids, ANN_K)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return media_metadata(media, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# relational built-ins (joins / aggs / windows over the star schema)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape with integer-cents aggregates (hash-stable)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_cents("l_quantity"))).alias("sum_qty_c"),
+            F.sum(F.expr(_cents("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(F.expr(_cents("l_extendedprice * (1 - l_discount)"))).alias(
+                "sum_disc_c"
+            ),
+            F.sum(
+                F.expr(_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))
+            ).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join: lineitem->orders->customer->nation; the two dims are
+    broadcast (no shuffle of the fact side until the final agg)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_cents("l_extendedprice * (1 - l_discount)")).alias("rev_c")
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_c").alias("revenue_c"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_window_topk(spark, sf_dir):
+    """Window: top-3 orders per customer (row_number, deterministic)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-bucketed agg over the events stream table."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_cents("value"))).alias("value_c"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative
+    sum window) — the batch analogue of stateful stream sessionizing."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # interval comparison: timezone-independent (ts is TIMESTAMP_NTZ)
+    gap = F.when(
+        (F.col("ts") - F.lag("ts", 1).over(w)) > F.expr("INTERVAL '30' MINUTE"), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", gap)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_s") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders
+# ---------------------------------------------------------------------------
+
+def _pts_cte() -> str:
+    return (
+        f"pts AS (SELECT doc_id, {XI_SQL} AS xi, {YI_SQL} AS yi, "
+        f"{LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)"
+    )
+
+
+def _oracle_cell_assign() -> str:
+    xg, yg = cells.sql_grid_expr("lat", "lon", CELL_RES)
+    cell = cells.sql_cell_expr("lat", "lon", CELL_RES)
+    morton = cells.sql_morton_expr(xg, yg)
+    tile = cells.sql_cell_expr("lat", "lon", TILE_ZOOM)
+    return f"""
+WITH {_pts_cte()}
+SELECT doc_id, xi, yi, {xg} AS xg, {yg} AS yg, {cell} AS cell,
+       {morton} AS morton, {tile} AS tile_id
+FROM pts
+"""
+
+
+def _oracle_cell_counts() -> str:
+    cell = cells.sql_cell_expr("lat", "lon", CELL_RES)
+    return f"""
+WITH {_pts_cte()}
+SELECT {cell} AS cell, COUNT(*) AS n_pages FROM pts GROUP BY 1
+"""
+
+
+def _oracle_pip_join() -> str:
+    parts = []
+    for p in default_polygons():
+        parts.append(
+            f"SELECT doc_id, CAST({p.poly_id} AS BIGINT) AS poly_id FROM pts "
+            f"WHERE {p.sql_pip_expr('lon', 'lat')}"
+        )
+    return f"WITH {_pts_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
+def _oracle_knn() -> str:
+    pts = f"SELECT doc_id AS point_id, {XI_SQL} AS xi, {YI_SQL} AS yi FROM documents"
+    qs = (
+        f"SELECT doc_id AS query_id, {XI_SQL} AS xi, {YI_SQL} AS yi FROM documents "
+        f"WHERE doc_id % {KNN_QUERY_MOD} = 0"
+    )
+    return knn_oracle_sql(pts, qs, KNN_K)
+
+
+def _oracle_raster_tiles() -> str:
+    xg, yg = cells.sql_grid_expr("lat", "lon", TILE_ZOOM)
+    return f"""
+WITH {_pts_cte()}
+SELECT {xg} AS tile_x, {yg} AS tile_y,
+       ({yg}) * {1 << TILE_ZOOM} + ({xg}) AS tile_id,
+       COUNT(*) AS n_pages
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def _oracle_raster_vector() -> str:
+    parts = []
+    for p in default_polygons():
+        lon_min, lat_min, lon_max, lat_max = p.bbox
+        import numpy as np
+
+        xs, ys = cells.encode_grid(
+            np.array([lat_min, lat_max]), np.array([lon_min, lon_max]), TILE_ZOOM
+        )
+        x0, x1 = int(min(xs)), int(max(xs))
+        y0, y1 = int(min(ys)), int(max(ys))
+        parts.append(
+            f"SELECT CAST({p.poly_id} AS BIGINT) AS poly_id, "
+            f"CAST(tx.x AS BIGINT) AS tile_x, CAST(ty.y AS BIGINT) AS tile_y, "
+            f"CAST(ty.y * {1 << TILE_ZOOM} + tx.x AS BIGINT) AS tile_id "
+            f"FROM generate_series({x0}, {x1}) tx(x), "
+            f"generate_series({y0}, {y1}) ty(y)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_ann_topk() -> str:
+    # same query-id rule as the engine side: vec_id % ANN_QUERY_MOD == 0
+    return ann_topk_oracle_sql(
+        "embeddings", None, ANN_K, query_pred=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
+
+
+def _oracle_tpch_q1() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       SUM({_cents('l_quantity')}) AS sum_qty_c,
+       SUM({_cents('l_extendedprice')}) AS sum_base_c,
+       SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS sum_disc_c,
+       SUM({_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS sum_charge_c,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _oracle_revenue_by_nation() -> str:
+    return f"""
+SELECT n_name,
+       SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS revenue_c,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def _oracle_window_topk() -> str:
+    return """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def _oracle_events_hourly() -> str:
+    return f"""
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n,
+       SUM({_cents('value')}) AS value_c,
+       COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2
+"""
+
+
+def _oracle_events_sessions() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, SUM(new_s) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # sort/merge core (reference operators)
+    "q_sort_lineitem": q_sort_lineitem,
+    "q_sort_witness": q_sort_witness,
+    "q_filter_scan": q_filter_scan,
+    "q_topk_orders": q_topk_orders,
+    # spatial suite
+    "q_cell_assign": q_cell_assign,
+    "q_cell_counts": q_cell_counts,
+    "q_pip_join": q_pip_join,
+    "q_knn": q_knn,
+    "q_raster_tiles": q_raster_tiles,
+    "q_raster_vector": q_raster_vector,
+    # training-data pipeline
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_text_features": q_text_features,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_neardup": q_ann_neardup,
+    "q_ann_lsh": q_ann_lsh,
+    "q_multimodal_meta": q_multimodal_meta,
+    # relational built-ins
+    "q_tpch_q1": q_tpch_q1,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_window_topk": q_window_topk,
+    "q_events_hourly": q_events_hourly,
+    "q_events_sessions": q_events_sessions,
+}
+
+ORACLES: dict[str, str] = {
+    "q_sort_lineitem": "SELECT * FROM lineitem",
+    "q_sort_witness": (
+        f"SELECT COUNT(*) AS rows, {PARITY_SQL} AS parity, "
+        f"CAST(0 AS BIGINT) AS inversions FROM lineitem"
+    ),
+    "q_filter_scan": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity > 30"
+    ),
+    "q_topk_orders": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    "q_cell_assign": _oracle_cell_assign(),
+    "q_cell_counts": _oracle_cell_counts(),
+    "q_pip_join": _oracle_pip_join(),
+    "q_knn": _oracle_knn(),
+    "q_raster_tiles": _oracle_raster_tiles(),
+    "q_raster_vector": _oracle_raster_vector(),
+    "q_dedup_exact": exact_dedup_oracle_sql("documents", "doc_id"),
+    "q_dedup_minhash": minhash_lsh_oracle_sql("documents", "doc_id"),
+    "q_dedup_simhash": simhash_pairs_oracle_sql("documents", "doc_id"),
+    "q_dedup_ngram": ngram_jaccard_oracle_sql("documents", "doc_id"),
+    "q_text_features": text_features_oracle_sql("documents", "doc_id"),
+    "q_ann_topk": _oracle_ann_topk(),
+    "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
+    # q_ann_lsh: intentionally NO oracle (approximate by design)
+    "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),
+    "q_tpch_q1": _oracle_tpch_q1(),
+    "q_revenue_by_nation": _oracle_revenue_by_nation(),
+    "q_window_topk": _oracle_window_topk(),
+    "q_events_hourly": _oracle_events_hourly(),
+    "q_events_sessions": _oracle_events_sessions(),
+}

@@ -196,3 +196,23 @@ def sql_grid_expr(lat_col: str, lon_col: str, res: int) -> tuple[str, str]:
 def sql_cell_expr(lat_col: str, lon_col: str, res: int) -> str:
     xg, yg = sql_grid_expr(lat_col, lon_col, res)
     return f"(({yg}) * {1 << res} + ({xg}))"
+
+
+def sql_spread_expr(x_sql: str) -> str:
+    """The 5-step magic-mask bit spread as SQL (duplicates the input
+    expression; fine for oracle use)."""
+    e = f"CAST({x_sql} AS BIGINT)"
+    for sh, mask in [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]:
+        e = f"((({e}) | (({e}) << {sh})) & {mask})"
+    return e
+
+
+def sql_morton_expr(xg_sql: str, yg_sql: str) -> str:
+    """Z-order id in SQL — identical bits to morton_id()/with_morton."""
+    return f"(({sql_spread_expr(xg_sql)}) | (({sql_spread_expr(yg_sql)}) << 1))"

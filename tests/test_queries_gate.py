@@ -1,0 +1,69 @@
+"""Replicates the driver's correctness gate: for every oracle-gated
+query, run the Spark query AND the DuckDB oracle on the same parquet,
+compare row count + column set + order-insensitive values.
+
+Runs at sf0.001 for speed (the driver uses sf0.01 — same shapes).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from external_merge_sort_loser_tree_ovc_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.reindex(sorted(pdf.columns), axis=1)
+    return out.sort_values(list(out.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    exp = _normalize(duck.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert np.allclose(
+                g.astype(float), e.astype(float), rtol=0, atol=1e-12, equal_nan=True
+            ), f"{name}.{c}"
+        else:
+            ga, ea = g.to_numpy(), e.to_numpy()
+            assert (ga == ea).all(), (
+                f"{name}.{c}: first diff at "
+                f"{np.nonzero(ga != ea)[0][:5]}"
+            )
+
+
+def test_all_queries_have_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLES)
+    # only genuinely approximate/non-SQL ops may omit the oracle
+    assert missing == {"q_ann_lsh"}, missing
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {r["poly_id"] for r in rows} <= {1, 2, 3}
