@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline queries from the registry plus the flagship
+geospatial pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "pages_per_sec": ...,
+   "merge_comparisons_per_sec": ...}
+
+Scaling mode (north_rule evidence — no real cluster in this sandbox):
+
+  python bench.py --scaling 8,32 --pages 2000000
+
+re-runs the flagship pipeline in fresh subprocesses at local[8] and
+local[32] on the SAME synthesized input and reports throughput at both
+plus efficiency = (T_small * N_small) / (T_big * N_big).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q_sort_lineitem",
+    "q_cell_counts",
+    "q_pip_join",
+    "q_knn",
+    "q_raster_tiles",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_features",
+    "q_ann_topk",
+    "q_tpch_q1",
+    "q_revenue_by_nation",
+    "q_window_topk",
+    "q_events_sessions",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("emsort-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_default() -> dict:
+    from external_merge_sort_loser_tree_ovc_spark.plans.pipeline import flagship_pipeline
+    from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
+    from external_merge_sort_loser_tree_ovc_spark.sources.pages import synth_pages
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(QUERIES[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
+    pages = synth_pages(spark, n_pages)
+    t0 = time.perf_counter()
+    fm = flagship_pipeline(spark, pages, num_partitions=CPUS)
+    times["flagship_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    doc = {
+        "metric": "headline query suite + flagship spatial pipeline wall time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship_pages": fm["n_pages"],
+        "pages_per_sec": round(fm["pages_per_sec"], 1),
+        "ovc_compares": fm.get("ovc_compares", 0),
+        "col_compares": fm.get("col_compares", 0),
+        "merge_comparisons_per_sec": round(fm.get("merge_comparisons_per_sec", 0.0), 1),
+        "spill_rows": fm["spill_rows"],
+        "runs_formed": fm["runs_formed"],
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return doc
+
+
+def run_flagship_once(cpus: int, n_pages: int) -> dict:
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from external_merge_sort_loser_tree_ovc_spark.plans.pipeline import flagship_pipeline
+    from external_merge_sort_loser_tree_ovc_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, n_pages, parallelism=cpus)
+    m = flagship_pipeline(spark, pages, num_partitions=cpus)
+    spark.stop()
+    return m
+
+
+def run_scaling(levels: list[int], n_pages: int) -> dict:
+    """Each level in a fresh subprocess (fresh JVM, honest timing)."""
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--flagship-only",
+            "--pages",
+            str(n_pages),
+        ]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = min(levels), max(levels)
+    tp = {c: results[c]["pages_per_sec"] for c in levels}
+    eff = tp[hi] / (tp[lo] * (hi / lo))
+    return {
+        "metric": f"flagship scaling local[{lo}] -> local[{hi}]",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "pages": n_pages,
+        "throughput_pages_per_sec": {str(c): round(tp[c], 1) for c in levels},
+        "core_seconds": {
+            str(c): round(
+                results[c]["s_sort"] + results[c]["s_pip"] + results[c]["s_tiles"], 2
+            )
+            for c in levels
+        },
+        "merge_comparisons_per_sec": {
+            str(c): round(results[c].get("merge_comparisons_per_sec", 0.0), 1)
+            for c in levels
+        },
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", type=str, default=None, help="e.g. 8,32")
+    ap.add_argument("--pages", type=int, default=2_000_000)
+    ap.add_argument("--flagship-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.flagship_only:
+        m = run_flagship_once(CPUS, args.pages)
+        print(json.dumps({k: v for k, v in m.items() if k != "lineage"}))
+        return
+    if args.scaling:
+        levels = [int(x) for x in args.scaling.split(",")]
+        print(json.dumps(run_scaling(levels, args.pages)))
+        return
+    print(json.dumps(run_default()))
+
+
+if __name__ == "__main__":
+    main()

@@ -244,11 +244,21 @@ class ExternalSorter:
             buf.append(b)
             buf_rows += len(b)
             if buf_rows >= budget:
+                # an incoming Arrow batch can exceed the budget (Arrow
+                # batch size is a Spark conf, not ours): split into
+                # budget-sized runs, each sorted independently, so the
+                # memory ceiling holds regardless of producer batching
                 frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-                run = _sort_frame(frame, self.key_cols)
-                store.write_run(pa.Table.from_pandas(run, preserve_index=False))
-                spilled_any = True
-                buf, buf_rows = [], 0
+                start = 0
+                while len(frame) - start >= budget:
+                    chunk = frame.iloc[start : start + budget]
+                    run = _sort_frame(chunk, self.key_cols)
+                    store.write_run(pa.Table.from_pandas(run, preserve_index=False))
+                    spilled_any = True
+                    start += budget
+                rest = frame.iloc[start:].reset_index(drop=True)
+                buf = [rest] if len(rest) else []
+                buf_rows = len(rest)
         tail = None
         if buf:
             frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
