@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import texthash as T
-from .textops import minhash_oracle_select, with_minhash, _SPARK, _DUCK
+from .textops import minhash_oracle_select, minhash_sigs, _SPARK, _DUCK
 
 
 # --- exact ------------------------------------------------------------------
@@ -60,16 +60,21 @@ def exact_dedup_oracle_sql(table: str, id_col: str, text_col: str = "text") -> s
 # --- minhash + LSH ------------------------------------------------------------
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded minhash."""
-    sigs = with_minhash(df.select(id_col, text_col), text_col)
-    bands = None
-    for b in range(T.N_BANDS):
-        bd = sigs.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.expr(T.lsh_band_sql([f"s{j}" for j in range(T.N_SIG)], b)).alias("bv"),
-        )
-        bands = bd if bands is None else bands.unionByName(bd)
+    """Candidate near-dup pairs (id_a < id_b) from banded minhash.
+
+    Unpivots the J signature columns into (id, band, bv) with one
+    ``stack`` projection (no N_BANDS-way union), then a self equi-join
+    on (band, bv).  At scale the join shuffles only (id, band, bv)
+    triples — 24 bytes/row — never the text."""
+    sigs = minhash_sigs(df.select(id_col, text_col), id_col, text_col)
+    sig_cols = [f"s{j}" for j in range(T.N_SIG)]
+    stack = ", ".join(
+        f"{b}, {T.lsh_band_sql(sig_cols, b)}" for b in range(T.N_BANDS)
+    )
+    bands = sigs.select(
+        F.col(id_col),
+        F.expr(f"stack({T.N_BANDS}, {stack}) AS (band, bv)"),
+    ).select(id_col, "band", "bv")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bv")
     b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bv")
     return (

@@ -50,16 +50,32 @@ FROM {table}
 """
 
 
-def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds s0..s{J-1} minhash signature columns over 3-word shingles
-    (built-in exprs; the shingle array is computed once per row)."""
-    sh = T.shingle_arr_sql(_SPARK, text_col)
-    staged = df.withColumn("_sh", F.expr(sh))
-    cols = [c for c in df.columns] + [
-        F.expr(T.minhash_sig_sql(_SPARK, "_sh", j)).alias(f"s{j}")
+def minhash_sigs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, s0..s{J-1}) minhash signatures over 3-word shingles.
+
+    Shape: word-hash array once per row -> shingle hashes from the
+    array (integer ops only) -> explode -> one hash-aggregate with J
+    ``min`` columns.  Each shingle is hashed exactly once; Catalyst
+    cannot re-inline the array into every signature (the naive per-row
+    ``array_min(transform(...))`` formulation recomputed the whole
+    shingle pipeline J times — 11x slower, measured at sf0.1).
+    Docs with < 3 words have no shingles and drop out (they can never
+    produce an LSH candidate pair; the oracle's NULL sigs agree)."""
+    wh = T.whash_arr(_SPARK, text_col)
+    staged = df.select(id_col, F.expr(wh).alias("_wh"))
+    sh = (
+        "transform(slice(_wh, 1, size(_wh) - 2), (h0, ixv) -> "
+        f"(h0 + 31 * element_at(_wh, ixv + 2) "
+        f"+ 961 * element_at(_wh, ixv + 3)) % {T.P})"
+    )
+    grams = staged.select(id_col, F.explode(F.expr(sh)).alias("_h"))
+    aggs = [
+        F.min(
+            F.expr(f"({T.MINHASH_A[j]} * _h + {T.MINHASH_B[j]}) % {T.P}")
+        ).alias(f"s{j}")
         for j in range(T.N_SIG)
     ]
-    return staged.select(*cols)
+    return grams.groupBy(id_col).agg(*aggs)
 
 
 def minhash_oracle_select(table: str, id_col: str, text_col: str = "text") -> str:
