@@ -109,20 +109,41 @@ def run_default() -> dict:
     return doc
 
 
-def run_flagship_once(cpus: int, n_pages: int) -> dict:
+def run_flagship_once(cpus: int, n_pages: int, input_path: str | None = None) -> dict:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     from external_merge_sort_loser_tree_ovc_spark.plans.pipeline import flagship_pipeline
     from external_merge_sort_loser_tree_ovc_spark.sources.pages import synth_pages
 
-    pages = synth_pages(spark, n_pages, parallelism=cpus)
+    if input_path:
+        pages = spark.read.parquet(input_path)
+    else:
+        pages = synth_pages(spark, n_pages, parallelism=cpus)
     m = flagship_pipeline(spark, pages, num_partitions=cpus)
     spark.stop()
     return m
 
 
+def _materialize_scaling_input(n_pages: int) -> str:
+    """Write the synthesized page table to parquet ONCE so every scaling
+    level reads the identical stored input — a job over an Iceberg table
+    reads storage; generating data inline would time the generator."""
+    path = f"/tmp/emsort-scaling-{n_pages}.parquet"
+    if os.path.isdir(path):
+        return path
+    spark = build_spark(min(16, CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    from external_merge_sort_loser_tree_ovc_spark.sources.pages import synth_pages
+
+    synth_pages(spark, n_pages, parallelism=16).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
 def run_scaling(levels: list[int], n_pages: int) -> dict:
-    """Each level in a fresh subprocess (fresh JVM, honest timing)."""
+    """Each level in a fresh subprocess (fresh JVM, honest timing), all
+    reading the same materialized parquet input."""
+    input_path = _materialize_scaling_input(n_pages)
     results = {}
     for cpus in levels:
         env = dict(os.environ)
@@ -133,11 +154,23 @@ def run_scaling(levels: list[int], n_pages: int) -> dict:
             "--flagship-only",
             "--pages",
             str(n_pages),
+            "--input",
+            input_path,
         ]
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    def job_sec(m):  # full job: scan->encode->witness->sort->pip->tiles
+        return (
+            m["s_encode_witness"]
+            + m["s_sort"]
+            + m["s_witness_out"]
+            + m["s_pip"]
+            + m["s_tiles"]
+        )
+
     lo, hi = min(levels), max(levels)
-    tp = {c: results[c]["pages_per_sec"] for c in levels}
+    tp = {c: n_pages / job_sec(results[c]) for c in levels}
     eff = tp[hi] / (tp[lo] * (hi / lo))
     return {
         "metric": f"flagship scaling local[{lo}] -> local[{hi}]",
@@ -145,12 +178,8 @@ def run_scaling(levels: list[int], n_pages: int) -> dict:
         "unit": "efficiency",
         "pages": n_pages,
         "throughput_pages_per_sec": {str(c): round(tp[c], 1) for c in levels},
-        "core_seconds": {
-            str(c): round(
-                results[c]["s_sort"] + results[c]["s_pip"] + results[c]["s_tiles"], 2
-            )
-            for c in levels
-        },
+        "job_seconds": {str(c): round(job_sec(results[c]), 2) for c in levels},
+        "sort_seconds": {str(c): round(results[c]["s_sort"], 2) for c in levels},
         "merge_comparisons_per_sec": {
             str(c): round(results[c].get("merge_comparisons_per_sec", 0.0), 1)
             for c in levels
@@ -161,13 +190,14 @@ def run_scaling(levels: list[int], n_pages: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", type=str, default=None, help="e.g. 8,32")
+    ap.add_argument("--scaling", type=str, default=None, help="e.g. 2,8 or 8,32")
     ap.add_argument("--pages", type=int, default=2_000_000)
+    ap.add_argument("--input", type=str, default=None)
     ap.add_argument("--flagship-only", action="store_true")
     args = ap.parse_args()
 
     if args.flagship_only:
-        m = run_flagship_once(CPUS, args.pages)
+        m = run_flagship_once(CPUS, args.pages, args.input)
         print(json.dumps({k: v for k, v in m.items() if k != "lineage"}))
         return
     if args.scaling:

@@ -1,8 +1,8 @@
 """Partition-level external merge sort — the vectorized OVC sort kernel.
 
-One instance of this runs inside every ``mapInPandas`` task.  Phases
-mirror the reference's ``SortIterator`` lifecycle (reference
-``Sort.cpp:21-136``):
+One instance of this runs inside every ``mapInArrow``/``mapInPandas``
+task.  Phases mirror the reference's ``SortIterator`` lifecycle
+(reference ``Sort.cpp:21-136``):
 
   pass 0  run formation — buffer Arrow batches up to the memory budget,
           sort each full buffer vectorized, spill as an Arrow run file;
@@ -15,6 +15,14 @@ mirror the reference's ``SortIterator`` lifecycle (reference
           (reference ``Sort.cpp:85``, ``DRAM.cpp:460``),
   final   lazy merge of ≤ B runs, emitted batch-by-batch on demand
           (reference ``Sort.cpp:125-134``).
+
+The data plane is Arrow end to end: key normalization reads Arrow
+buffers directly (keys_arrow.py), row reordering is ``Table.take``
+(C++), spills are Arrow IPC files, and the non-exact fallback sort is
+``pyarrow.compute.sort_indices`` (C++ stable sort) — pandas appears
+only in the compatibility adapter ``sort()``.  This removed the
+pandas<->Arrow string round-trips that dominated the profile (5 of 9
+seconds per 250k-row partition).
 
 Instrumentation mirrors the reference's printouts (``Sort.cpp:90-100``,
 ``Sort.cpp:189-191``): W, B, X, merge depth, spill rows, pass count,
@@ -33,9 +41,11 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import keys as K
 from . import vmerge
+from .keys_arrow import key_matrix_table, row_fingerprint_table
 from .loser_tree import LoserTreeMerge
 from .planner import initial_fan_in, merge_depth
 from .runs import RunStore
@@ -61,29 +71,30 @@ class SortMetrics:
         return dict(self.__dict__)
 
 
-def _fold_hash(df: pd.DataFrame) -> int:
-    """Order-independent 64-bit content fingerprint of a batch
-    (xor-folded deterministic per-row hashes)."""
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
-    return int(np.bitwise_xor.reduce(h)) if len(h) else 0
+def _sort_keys(key_cols: list[str]):
+    return [(c, "ascending") for c in key_cols]
 
 
-def _sort_frame(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+def _sort_table(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     """Vectorized single-buffer sort (run formation).
 
-    Uses the normalized uint64 key matrix + np.lexsort when exact, else
-    pandas' own stable sort (handles full string collation).  This is the
-    cache-run analogue of the reference's in-RAM sort
-    (reference ``DRAM.cpp:362-445``) with numpy.take instead of the
-    in-place permutation (``DRAM.cpp:338-354``).
+    Exact-normalizable keys -> uint64 matrix + np.lexsort (the cache-run
+    analogue of the reference's in-RAM sort, ``DRAM.cpp:362-445``, with
+    ``take`` instead of the in-place permutation ``DRAM.cpp:338-354``).
+    Otherwise -> Arrow's C++ stable sort (full string collation).
     """
-    if df.empty:
-        return df
-    mat, exact = K.key_matrix(df, key_cols)
+    if tbl.num_rows == 0:
+        return tbl
+    mat, exact = key_matrix_table(tbl, key_cols)
     if exact:
         order = K.lexsort_indices(mat)
-        return df.iloc[order].reset_index(drop=True) if not _is_trivial(order) else df
-    return df.sort_values(key_cols, kind="stable", ignore_index=True)
+        if _is_trivial(order):
+            return tbl
+        return tbl.take(pa.array(order))
+    idx = pc.sort_indices(
+        tbl, sort_keys=_sort_keys(key_cols), null_placement="at_start"
+    )
+    return tbl.take(idx)
 
 
 def _is_trivial(order: np.ndarray) -> bool:
@@ -94,10 +105,9 @@ def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
     """Vectorized merge of sorted Arrow tables into one sorted table."""
     if len(tables) == 1:
         return tables[0]
-    frames = [t.to_pandas() for t in tables]
-    mats_exact = [K.key_matrix(f, key_cols) for f in frames]
-    exact = all(e for _, e in mats_exact)
     big = pa.concat_tables(tables, promote_options="default")
+    mats_exact = [key_matrix_table(t, key_cols) for t in tables]
+    exact = all(e for _, e in mats_exact)
     if exact:
         packed = [K.pack_columns(m) for m, _ in mats_exact]
         if all(p is not None for p in packed):
@@ -105,10 +115,18 @@ def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
         else:
             idx = vmerge.merge_runs_matrix([m for m, _ in mats_exact])
         return big.take(pa.array(idx))
-    merged = pd.concat(frames, ignore_index=True).sort_values(
-        key_cols, kind="stable", ignore_index=True
+    idx = pc.sort_indices(
+        big, sort_keys=_sort_keys(key_cols), null_placement="at_start"
     )
-    return pa.Table.from_pandas(merged, preserve_index=False, schema=big.schema)
+    return big.take(idx)
+
+
+def _to_table(b) -> pa.Table:
+    if isinstance(b, pa.Table):
+        return b
+    if isinstance(b, pa.RecordBatch):
+        return pa.Table.from_batches([b])
+    return pa.Table.from_pandas(b, preserve_index=False)
 
 
 @dataclass
@@ -142,7 +160,13 @@ class ExternalSorter:
     metrics: SortMetrics = field(default_factory=SortMetrics)
     _fingerprint: int = 0
 
+    # -- public: pandas adapter (mapInPandas / tests) ---------------------------
     def sort(self, batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for t in self.sort_tables(_to_table(b) for b in batches):
+            yield t.to_pandas()
+
+    # -- public: Arrow-native (mapInArrow) --------------------------------------
+    def sort_tables(self, batches: Iterable[pa.Table]) -> Iterator[pa.Table]:
         t0 = time.perf_counter()
         self.metrics.mode = self.mode
 
@@ -194,8 +218,8 @@ class ExternalSorter:
             else:
                 self._invalidate(candidate[0])
                 store = staging
-                if self.checkpoint_inputs and tail is not None and len(tail):
-                    store.write_run(pa.Table.from_pandas(tail, preserve_index=False))
+                if self.checkpoint_inputs and tail is not None and tail.num_rows:
+                    store.write_run(tail)
                     tail = None
                 store.commit("runs_formed", self._commit_extra(tail))
         else:
@@ -204,8 +228,8 @@ class ExternalSorter:
             if tail is _INLINE_DONE:
                 self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
                 return
-            if self.checkpoint_inputs and tail is not None and len(tail):
-                store.write_run(pa.Table.from_pandas(tail, preserve_index=False))
+            if self.checkpoint_inputs and tail is not None and tail.num_rows:
+                store.write_run(tail)
                 tail = None
             store.commit("runs_formed", self._commit_extra(tail))
 
@@ -232,56 +256,51 @@ class ExternalSorter:
 
     # -- pass 0 ---------------------------------------------------------------
     def _form_runs(self, batches, store: RunStore):
-        buf: list[pd.DataFrame] = []
+        buf: list[pa.Table] = []
         buf_rows = 0
         budget = max(self.batch_rows, self.memory_budget_rows - self.batch_rows)
         spilled_any = False
         for b in batches:
-            if b.empty:
+            if b.num_rows == 0:
                 continue
-            self.metrics.rows_in += len(b)
-            self._fingerprint ^= _fold_hash(b)
+            self.metrics.rows_in += b.num_rows
+            self._fingerprint ^= row_fingerprint_table(b)
             buf.append(b)
-            buf_rows += len(b)
+            buf_rows += b.num_rows
             if buf_rows >= budget:
                 # an incoming Arrow batch can exceed the budget (Arrow
                 # batch size is a Spark conf, not ours): split into
                 # budget-sized runs, each sorted independently, so the
                 # memory ceiling holds regardless of producer batching
-                frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                tbl = pa.concat_tables(buf, promote_options="default")
                 start = 0
-                while len(frame) - start >= budget:
-                    chunk = frame.iloc[start : start + budget]
-                    run = _sort_frame(chunk, self.key_cols)
-                    store.write_run(pa.Table.from_pandas(run, preserve_index=False))
+                while tbl.num_rows - start >= budget:
+                    chunk = tbl.slice(start, budget)
+                    store.write_run(_sort_table(chunk, self.key_cols))
                     spilled_any = True
                     start += budget
-                rest = frame.iloc[start:].reset_index(drop=True)
-                buf = [rest] if len(rest) else []
-                buf_rows = len(rest)
+                rest = tbl.slice(start)
+                buf = [rest] if rest.num_rows else []
+                buf_rows = rest.num_rows
         tail = None
         if buf:
-            frame = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            tail = _sort_frame(frame, self.key_cols)
+            tbl = pa.concat_tables(buf, promote_options="default")
+            tail = _sort_table(tbl, self.key_cols)
         if not spilled_any and not self.checkpoint_inputs:
             # internal-sort path: everything fit in memory (Sort.cpp:163-165)
             self.metrics.runs_formed = 1 if tail is not None else 0
             self.metrics.depth = 1
             self.metrics.passes = 1
-            self.metrics.rows_out = 0 if tail is None else len(tail)
+            self.metrics.rows_out = 0 if tail is None else tail.num_rows
             if tail is not None:
-                yield from self._emit(tail)
+                yield from self._emit_table(tail)
             return _INLINE_DONE
         return tail
 
     # -- passes 1..d ------------------------------------------------------------
-    def _merge_all(self, store: RunStore, tail: pd.DataFrame | None):
+    def _merge_all(self, store: RunStore, tail: pa.Table | None):
         # the in-memory tail participates as one more (unspilled) run
-        tail_tbl = (
-            pa.Table.from_pandas(tail, preserve_index=False)
-            if tail is not None and len(tail)
-            else None
-        )
+        tail_tbl = tail if tail is not None and tail.num_rows else None
         w = len(store.runs) + (1 if tail_tbl is not None else 0)
         b = max(2, self.memory_budget_rows // self.batch_rows - 1)
         m = self.metrics
@@ -355,32 +374,40 @@ class ExternalSorter:
             else np.zeros((0, len(t.schema.names)), np.int64)
             for t in tables
         ]
-        cols = tables[0].schema.names
+        schema = tables[0].schema
+        cols = schema.names
         tree = LoserTreeMerge(runs)
         out_buf = []
+
+        def flush(buf):
+            mat = np.vstack(buf)
+            arrays = [
+                pa.array(mat[:, j]).cast(schema.field(j).type)
+                for j in range(len(cols))
+            ]
+            return pa.Table.from_arrays(arrays, names=list(cols))
+
         while True:
             row = tree.pop()
             if row is None:
                 break
             out_buf.append(row)
             if len(out_buf) >= self.batch_rows:
-                yield pd.DataFrame(np.vstack(out_buf), columns=cols)
-                self.metrics.rows_out += len(out_buf)
+                t = flush(out_buf)
+                self.metrics.rows_out += t.num_rows
+                yield t
                 out_buf = []
         if out_buf:
-            yield pd.DataFrame(np.vstack(out_buf), columns=cols)
-            self.metrics.rows_out += len(out_buf)
+            t = flush(out_buf)
+            self.metrics.rows_out += t.num_rows
+            yield t
         self.metrics.ovc_compares = tree.ovc_compares
         self.metrics.col_compares = tree.col_compares
 
     # -- emission ---------------------------------------------------------------
-    def _emit(self, frame: pd.DataFrame):
-        for i in range(0, len(frame), self.batch_rows):
-            yield frame.iloc[i : i + self.batch_rows]
-
     def _emit_table(self, table: pa.Table):
-        for batch in table.to_batches(max_chunksize=self.batch_rows):
-            yield pa.Table.from_batches([batch]).to_pandas()
+        for i in range(0, table.num_rows, self.batch_rows):
+            yield table.slice(i, self.batch_rows)
 
 
 class _InlineDone:

@@ -48,7 +48,11 @@ class RunStore:
     def write_run(self, table: pa.Table, generation: int = 0) -> RunInfo:
         path = os.path.join(self.root, f"run-{uuid.uuid4().hex}.arrow")
         tmp = path + ".tmp"
-        with ipc.new_file(tmp, table.schema) as w:
+        # lz4 halves run-file bytes for text-heavy rows: spill IO is the
+        # non-scaling resource on a single box (and a real cluster's disk
+        # bandwidth is precious too); the extra CPU parallelizes.
+        opts = ipc.IpcWriteOptions(compression="lz4")
+        with ipc.new_file(tmp, table.schema, options=opts) as w:
             w.write_table(table)
         os.rename(tmp, path)
         info = RunInfo(path=path, rows=table.num_rows, generation=generation)

@@ -47,6 +47,8 @@ def _partition_kernel(
     """Build the mapInPandas function (must be picklable, import-light)."""
 
     def run(iterator):
+        import pyarrow as pa
+
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -55,7 +57,10 @@ def _partition_kernel(
             spill = os.path.join(checkpoint_dir, f"partition={pid:05d}")
             cleanup = False
         else:
-            spill = tempfile.mkdtemp(prefix=f"emsort-p{pid}-")
+            spill = tempfile.mkdtemp(
+                prefix=f"emsort-p{pid}-",
+                dir=os.environ.get("SPARK_GRAFT_SPILL_ROOT") or None,
+            )
             cleanup = True
         sorter = ExternalSorter(
             key_cols=list(key_cols),
@@ -66,7 +71,9 @@ def _partition_kernel(
             checkpoint_inputs=checkpoint_inputs,
         )
         try:
-            yield from sorter.sort(iterator)
+            tables = (pa.Table.from_batches([b]) for b in iterator)
+            for out in sorter.sort_tables(tables):
+                yield from out.to_batches()
         finally:
             if metrics_dir:
                 os.makedirs(metrics_dir, exist_ok=True)
@@ -116,7 +123,9 @@ def external_sort_df(
         metrics_dir,
         checkpoint_inputs=checkpoint_dir is not None,
     )
-    return df.mapInPandas(fn, schema=df.schema)
+    # mapInArrow: the kernel is Arrow-native — skip Spark's
+    # arrow<->pandas conversion entirely (strings stay in Arrow buffers)
+    return df.mapInArrow(fn, schema=df.schema)
 
 
 def salted_repartition_by_range(

@@ -57,7 +57,8 @@ def flagship_pipeline(
     t1 = time.perf_counter()
     out["s_encode_witness"] = t1 - t0
 
-    ckpt = tempfile.mkdtemp(prefix="emsort-flagship-")
+    spill_root = os.environ.get("SPARK_GRAFT_SPILL_ROOT") or None
+    ckpt = tempfile.mkdtemp(prefix="emsort-flagship-", dir=spill_root)
     try:
         salted = salted_repartition_by_range(
             enc, ["morton"], salt_buckets=salt_buckets, num_partitions=n_parts
@@ -119,7 +120,7 @@ def flagship_pipeline(
         keys_only = enc.select(
             F.col("morton"), F.xxhash64("url").alias("urlh")
         )
-        ckpt2 = tempfile.mkdtemp(prefix="emsort-exact-")
+        ckpt2 = tempfile.mkdtemp(prefix="emsort-exact-", dir=spill_root)
         try:
             # size the budget so each partition forms ~8 external runs —
             # otherwise small inputs sort in-memory and no merge (hence no
