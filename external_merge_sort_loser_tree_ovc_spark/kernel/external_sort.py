@@ -109,8 +109,10 @@ def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
     mats_exact = [key_matrix_table(t, key_cols) for t in tables]
     exact = all(e for _, e in mats_exact)
     if exact:
-        packed = [K.pack_columns(m) for m, _ in mats_exact]
-        if all(p is not None for p in packed):
+        # packing params MUST be shared across runs or codes from
+        # different runs are not mutually comparable
+        packed = K.pack_columns_shared([m for m, _ in mats_exact])
+        if packed is not None:
             idx = vmerge.merge_runs_packed(packed)  # O(n log k), single-int compares
         else:
             idx = vmerge.merge_runs_matrix([m for m, _ in mats_exact])

@@ -166,6 +166,38 @@ def pack_columns(mat: np.ndarray) -> np.ndarray | None:
     return packed
 
 
+def pack_columns_shared(mats: list[np.ndarray]) -> list[np.ndarray] | None:
+    """Pack SEVERAL key matrices with ONE shared set of offsets/widths so
+    the packed codes are comparable ACROSS runs (per-run packing would
+    subtract different minima — codes from different runs would not be
+    mutually ordered).  Returns None when the shared width exceeds 64."""
+    mats = [m for m in mats]
+    if not mats:
+        return []
+    k = mats[0].shape[1]
+    if k == 0:
+        return [np.zeros(len(m), dtype=np.uint64) for m in mats]
+    nonempty = [m for m in mats if len(m)]
+    if not nonempty:
+        return [np.zeros(0, dtype=np.uint64) for _ in mats]
+    los = []
+    widths = []
+    for j in range(k):
+        lo = min(int(m[:, j].min()) for m in nonempty)
+        hi = max(int(m[:, j].max()) for m in nonempty)
+        los.append(np.uint64(lo))
+        widths.append(max(1, (hi - lo).bit_length()))
+    if sum(widths) > 64:
+        return None
+    out = []
+    for m in mats:
+        packed = np.zeros(len(m), dtype=np.uint64)
+        for j, (w, lo) in enumerate(zip(widths, los)):
+            packed = (packed << np.uint64(w)) | (m[:, j] - lo)
+        out.append(packed)
+    return out
+
+
 def lexsort_indices(mat: np.ndarray) -> np.ndarray:
     """Stable ascending argsort of an (n, k) uint64 key matrix."""
     if mat.shape[1] == 0:
