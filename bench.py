@@ -119,7 +119,11 @@ def run_flagship_once(cpus: int, n_pages: int, input_path: str | None = None) ->
         pages = spark.read.parquet(input_path)
     else:
         pages = synth_pages(spark, n_pages, parallelism=cpus)
-    m = flagship_pipeline(spark, pages, num_partitions=cpus)
+    # partition count is a function of DATA SIZE, not core count — fixed
+    # ~500k-row partitions, exactly as a real cluster sizes partitions by
+    # bytes; scaling levels then run the SAME work on more/fewer cores
+    n_parts = max(cpus, (n_pages + 499_999) // 500_000)
+    m = flagship_pipeline(spark, pages, num_partitions=n_parts)
     spark.stop()
     return m
 

@@ -81,3 +81,16 @@ def test_salted_partition_splits_hot_cell(spark):
     )
     assert len(dist) >= 2, "hot cell not split across partitions"
     assert dist["count"].max() < 20000 * 0.9
+
+
+def test_catalog_read_pages_fallback(spark, tmp_path):
+    from external_merge_sort_loser_tree_ovc_spark.sources.catalog import (
+        PAGE_COLUMNS,
+        read_pages,
+    )
+
+    p = str(tmp_path / "pages.parquet")
+    synth_pages(spark, 300).write.parquet(p)
+    df = read_pages(spark, p, columns=PAGE_COLUMNS)
+    assert df.columns == PAGE_COLUMNS
+    assert df.count() == 300
