@@ -79,7 +79,8 @@ def knn_join(
     best = None  # running top-k: (_qid, _pid, dist2)
     searched = -1  # max Chebyshev radius fully searched so far
     rounds = 0
-    while rounds < max_rounds and pending.count() > 0:
+    n_pending = pending.count()
+    while rounds < max_rounds and n_pending > 0:
         lo, hi = searched + 1, max(searched + 1, start_radius if rounds == 0 else 0)
         off_df = F.broadcast(
             spark.createDataFrame(_offsets(lo, hi), ["_dx", "_dy"])
@@ -120,7 +121,7 @@ def knn_join(
         kth = topk.groupBy("_qid").agg(
             F.max("dist2").alias("_dk"), F.count(F.lit(1)).alias("_nk")
         )
-        pending = (
+        new_pending = (
             pending.join(kth, "_qid", "left")
             .filter(
                 F.col("_nk").isNull()
@@ -128,7 +129,11 @@ def knn_join(
                 | (F.col("_dk") > F.lit(bound))
             )
             .select("_qid", "_qx", "_qy", "_qcx", "_qcy")
+            .cache()  # cut lineage: otherwise round r recomputes rounds 1..r-1
         )
+        n_pending = new_pending.count()
+        pending.unpersist()
+        pending = new_pending
         rounds += 1
     pts.unpersist()
     if best is None:
