@@ -61,6 +61,13 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # shuffle files on tmpfs when requested: on one box, disk
+        # bandwidth is the resource that does NOT multiply with cores
+        # (a real cluster adds disks with every executor)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
