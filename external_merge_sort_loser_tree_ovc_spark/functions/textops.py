@@ -22,17 +22,57 @@ _DUCK = T.Dialect("duckdb")
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """token_count, stopword_count, lang_pred, quality, fingerprint,
-    simhash16 — one pass of built-in expressions."""
-    wh = T.whash_arr(_SPARK, text_col)
-    return df.select(
-        "*",
-        F.expr(T.token_count_sql(_SPARK, text_col)).alias("token_count"),
-        F.expr(T.stopword_count_sql(_SPARK, text_col)).alias("stopword_count"),
-        F.expr(T.lang_id_sql(_SPARK, text_col)).alias("lang_pred"),
-        F.expr(T.quality_score_sql(_SPARK, text_col)).alias("quality"),
-        F.expr(T.fingerprint_sql(_SPARK, wh)).alias("fingerprint"),
-        F.expr(T.simhash_sql(_SPARK, wh)).cast("bigint").alias("simhash16"),
+    simhash16 over (id, text) rows.
+
+    Shape: posexplode words -> hash each word ONCE -> one aggregate with
+    all feature sums -> derive the scalar features.  The naive per-row
+    formulation let Catalyst inline the word-hash array into every one
+    of the 16 simhash terms, re-evaluating the ascii polynomial ~20x per
+    word.  Formulas are identical to the *_sql oracle generators."""
+    others = [c for c in df.columns if c != text_col]
+    stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    words = df.select(
+        *others,
+        F.length(F.col(text_col)).alias("_chars"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_w"),
+    ).withColumn("_h", F.expr(T.whash_sql("_w")))
+    aggs = [
+        F.count(F.lit(1)).alias("token_count"),
+        F.sum(F.expr(f"CASE WHEN _w IN ({stop_list}) THEN 1 ELSE 0 END")).alias(
+            "stopword_count"
+        ),
+        F.sum(F.expr(f"(_h + _i * {T.FP_STEP}) % {T.P}")).alias("_fp_sum"),
+        F.first("_chars").alias("_chars1"),
+    ]
+    for j in range(T.SIMHASH_BITS):
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(_h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias(f"_sb{j}")
+        )
+    grouped = words.groupBy(*others).agg(*aggs)
+    simhash = None
+    for j in range(T.SIMHASH_BITS):
+        bit = F.when(F.col(f"_sb{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    out = grouped.select(
+        *others,
+        F.col("token_count").cast("bigint").alias("token_count"),
+        F.col("stopword_count").cast("bigint").alias("stopword_count"),
+        F.when(
+            F.col("stopword_count").cast("double") / F.col("token_count") >= 0.15,
+            F.lit("en"),
+        )
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+        (
+            F.col("token_count").cast("double") / (F.col("_chars1").cast("double") + 1.0)
+            + F.col("stopword_count").cast("double") / (F.col("token_count") + 1.0)
+        ).alias("quality"),
+        (F.col("_fp_sum") % T.P).alias("fingerprint"),
+        simhash.cast("bigint").alias("simhash16"),
     )
+    return out
 
 
 def text_features_oracle_sql(table: str, id_col: str, text_col: str = "text") -> str:
