@@ -106,7 +106,7 @@ def q_sort_lineitem(spark, sf_dir):
     Content equality vs the oracle; sortedness is asserted by
     q_sort_witness and pytest."""
     df = _read(spark, sf_dir, "lineitem")
-    return external_sort_df(df, SORT_KEYS, num_partitions=8)
+    return external_sort_df(df, SORT_KEYS)
 
 
 def q_sort_witness(spark, sf_dir):

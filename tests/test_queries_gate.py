@@ -12,7 +12,9 @@ import pytest
 
 from external_merge_sort_loser_tree_ovc_spark.queries import ORACLES, QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
