@@ -336,6 +336,51 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping sets: revenue by (returnflag, linestatus) with ROLLUP
+    subtotals — exercises multi-level aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_cents("l_extendedprice * (1 - l_discount)"))).alias("rev_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: customers with orders INTERSECT high-balance,
+    then EXCEPT a segment — distinct-set semantics in both engines."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+    high_bal = cust.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return with_orders.intersect(high_bal).exceptAll(seg.distinct())
+
+
+def q_string_date_funcs(spark, sf_dir):
+    """Scalar function coverage: string + date built-ins with identical
+    semantics in both engines."""
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status1"),
+        F.length(F.col("o_orderpriority")).cast("bigint").alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.year(F.col("o_orderdate")).cast("bigint").alias("o_year"),
+        F.month(F.col("o_orderdate")).cast("bigint").alias("o_month"),
+        F.dayofmonth(F.col("o_orderdate")).cast("bigint").alias("o_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -519,6 +564,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_topk": q_window_topk,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_set_ops": q_set_ops,
+    "q_string_date_funcs": q_string_date_funcs,
 }
 
 ORACLES: dict[str, str] = {
@@ -555,4 +603,29 @@ ORACLES: dict[str, str] = {
     "q_window_topk": _oracle_window_topk(),
     "q_events_hourly": _oracle_events_hourly(),
     "q_events_sessions": _oracle_events_sessions(),
+    "q_rollup_revenue": f"""
+SELECT l_returnflag, l_linestatus,
+       SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS rev_c,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "q_set_ops": """
+SELECT c_custkey FROM customer SEMI JOIN orders ON c_custkey = o_custkey
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+EXCEPT ALL
+SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+    "q_string_date_funcs": """
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS prio_upper,
+       SUBSTRING(o_orderstatus, 1, 1) AS status1,
+       CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+       o_orderstatus || '-' || o_orderpriority AS status_prio,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+       CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+       DATE_TRUNC('month', o_orderdate) AS month_start
+FROM orders
+""",
 }
