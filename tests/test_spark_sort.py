@@ -97,3 +97,31 @@ def test_salted_repartition_splits_hot_key(spark):
     assert len(nonempty) > 1, "hot key should split across partitions"
     assert sum(r["count"] for r in sizes) == 20000
     assert "_salt" not in parted.columns
+
+
+def test_job_level_resume(spark, lineitem, tmp_path):
+    """north_rule resumability: a re-run over the same checkpoint dir
+    replays committed runs (resumed=True in every partition's lineage)
+    instead of re-sorting.  Deterministic hash partitioning stands in
+    for a task retry with identical input."""
+    from pyspark.sql import functions as F
+
+    from external_merge_sort_loser_tree_ovc_spark.operators.sort import (
+        external_sort_df,
+        read_lineage,
+    )
+
+    ckpt = str(tmp_path / "resume-ckpt")
+    df = lineitem.repartition(4, F.col("l_orderkey"))
+    keys = ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
+
+    out1 = external_sort_df(df, keys, checkpoint_dir=ckpt, skip_shuffle=True)
+    n1 = out1.count()
+    lin1 = read_lineage(spark, ckpt).toPandas()
+    assert not lin1.resumed.any()
+
+    out2 = external_sort_df(df, keys, checkpoint_dir=ckpt, skip_shuffle=True)
+    n2 = out2.count()
+    lin2 = read_lineage(spark, ckpt).toPandas()
+    assert n1 == n2 == lineitem.count()
+    assert lin2.resumed.all(), f"expected all partitions resumed: {lin2.resumed.tolist()}"
