@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import texthash as T
-from .textops import minhash_oracle_select, minhash_sigs, _SPARK, _DUCK
+from .textops import minhash_oracle_select, minhash_sigs, _DUCK
 
 
 # --- exact ------------------------------------------------------------------
@@ -105,10 +105,12 @@ WHERE a.{id_col} < b.{id_col}
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Pairs whose 16-bit simhash is identical (hamming-0 candidates;
-    widen by banding the simhash for hamming<=k)."""
-    wh = T.whash_arr(_SPARK, text_col)
-    sh = df.select(
-        F.col(id_col), F.expr(T.simhash_sql(_SPARK, wh)).cast("bigint").alias("sh")
+    widen by banding the simhash for hamming<=k).  Simhash comes from
+    the explode-agg path (one word-hash evaluation per word)."""
+    from .textops import with_text_features
+
+    sh = with_text_features(df.select(id_col, text_col), text_col).select(
+        F.col(id_col), F.col("simhash16").alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
