@@ -6,16 +6,18 @@ formula (texthash.py):
 - exact:        group-by text hash, keep min id (one shuffle on a
                 64-ish-bit key; at 100 TB use xxhash64(text) as the
                 group key so the shuffle carries 8 bytes, not the text);
-- minhash+LSH:  J=8 word-minhash signatures -> 4 bands of 2 -> candidate
-                pairs via self-equi-join on (band, band_value);
+- minhash+LSH:  J=8 minhash signatures over 3-word shingles -> 4 bands
+                of 2 -> candidate pairs via self-equi-join on
+                (band, band_value);
 - simhash:      16-bit simhash equality -> near-dup candidate pairs;
 - n-gram Jaccard: word-bigram inverted index self-join; the >= tau test
                 is integer-exact (q*intersection >= p*union).
 
 Scale notes: pair-generation joins are quadratic in bucket size — hot
-buckets (boilerplate docs) are the skew risk.  ``max_pair_bucket``
-guards the engine path (documented cap, logged via count); the LSH band
-join itself is a plain shuffled equi-join Catalyst/AQE handles.
+buckets (boilerplate docs) are the skew risk at 100 TB; mitigate by
+dropping top-frequency grams/bands before the self-join (a standard
+df.filter on a broadcast frequency table) — AQE's skew-join split
+handles the shuffle side.
 """
 
 from __future__ import annotations
