@@ -474,10 +474,11 @@ def _oracle_ann_topk() -> str:
 def _oracle_tpch_q1() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-       SUM({_cents('l_quantity')}) AS sum_qty_c,
-       SUM({_cents('l_extendedprice')}) AS sum_base_c,
-       SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS sum_disc_c,
-       SUM({_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS sum_charge_c,
+       CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS sum_qty_c,
+       CAST(SUM({_cents('l_extendedprice')}) AS BIGINT) AS sum_base_c,
+       CAST(SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_c,
+       CAST(SUM({_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT)
+           AS sum_charge_c,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY 1, 2
 """
@@ -486,7 +487,7 @@ FROM lineitem GROUP BY 1, 2
 def _oracle_revenue_by_nation() -> str:
     return f"""
 SELECT n_name,
-       SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS revenue_c,
+       CAST(SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_c,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -512,7 +513,7 @@ def _oracle_events_hourly() -> str:
     return f"""
 SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n,
-       SUM({_cents('value')}) AS value_c,
+       CAST(SUM({_cents('value')}) AS BIGINT) AS value_c,
        COUNT(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2
 """
@@ -526,7 +527,7 @@ WITH g AS (
                    > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events
 )
-SELECT user_id, SUM(new_s) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """
 
@@ -605,7 +606,7 @@ ORACLES: dict[str, str] = {
     "q_events_sessions": _oracle_events_sessions(),
     "q_rollup_revenue": f"""
 SELECT l_returnflag, l_linestatus,
-       SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS rev_c,
+       CAST(SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS rev_c,
        COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,

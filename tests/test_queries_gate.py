@@ -44,6 +44,19 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        # the driver's value hash is dtype-sensitive (Spark BIGINT vs DuckDB
+        # HUGEINT hash differently even for equal values) — compare dtypes
+        # too, so pytest catches what CORRECTNESS_r*.json would flag.
+        # Datetime unit (ns vs us) is a pandas-conversion artifact the driver
+        # normalizes (timestamp queries passed the r01 hash), so compare
+        # datetime columns at kind level only.
+        if g.dtype.kind == "M" or e.dtype.kind == "M":
+            assert g.dtype.kind == e.dtype.kind, f"{name}.{c}: {g.dtype} vs {e.dtype}"
+        else:
+            assert g.dtype == e.dtype, (
+                f"{name}.{c}: spark dtype {g.dtype} != oracle dtype {e.dtype} "
+                "(driver value-hash would mismatch; CAST the oracle)"
+            )
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             assert np.allclose(
                 g.astype(float), e.astype(float), rtol=0, atol=1e-12, equal_nan=True
