@@ -57,9 +57,10 @@ def _partition_kernel(
             spill = os.path.join(checkpoint_dir, f"partition={pid:05d}")
             cleanup = False
         else:
+            from ..runtime import default_spill_root
+
             spill = tempfile.mkdtemp(
-                prefix=f"emsort-p{pid}-",
-                dir=os.environ.get("SPARK_GRAFT_SPILL_ROOT") or None,
+                prefix=f"emsort-p{pid}-", dir=default_spill_root()
             )
             cleanup = True
         sorter = ExternalSorter(

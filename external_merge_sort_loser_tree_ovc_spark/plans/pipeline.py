@@ -21,9 +21,11 @@ import shutil
 import tempfile
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.sort import external_sort_df, salted_repartition_by_range
+from ..runtime import default_spill_root
 from ..operators.witness import witness_summary
 from ..spatial.ops import pip_join, with_grid, with_morton, with_tile
 from ..spatial.pip import default_polygons
@@ -40,6 +42,7 @@ def flagship_pipeline(
     memory_budget_rows: int = 1 << 19,
     count_compares: bool = True,
     keep_lineage: bool = False,
+    cache_input: bool = True,
 ) -> dict:
     """Run the full pipeline; returns a metrics dict (wall seconds per
     stage, pages/sec, merge comparisons/sec, witness parity in==out)."""
@@ -51,13 +54,21 @@ def flagship_pipeline(
 
     enc = with_morton(with_grid(pages, "lat", "lon", cell_res))
     enc = enc.select("url", "warc_ts", "text", "lang", "lat", "lon", "cell", "morton")
+    # the encoded input feeds FOUR passes (witness-in, range sampler, the
+    # shuffle itself, and the exact-mode compare leg).  Against a real
+    # storage-backed table each extra pass is a column-pruned scan; when
+    # the input is a synthesized/derived plan, recomputing it per pass
+    # times the generator, not the engine — persist serialized (rows go
+    # to spark.local.dir scratch if memory is short).
+    if cache_input:
+        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
 
     # witness below the sort (reference plan shape: Witness(Sort(Witness(...))))
     w_in = witness_summary(enc, ["url", "text"])
     t1 = time.perf_counter()
     out["s_encode_witness"] = t1 - t0
 
-    spill_root = os.environ.get("SPARK_GRAFT_SPILL_ROOT") or None
+    spill_root = default_spill_root()
     ckpt = tempfile.mkdtemp(prefix="emsort-flagship-", dir=spill_root)
     try:
         salted = salted_repartition_by_range(
@@ -70,7 +81,7 @@ def flagship_pipeline(
             checkpoint_dir=ckpt,
             skip_shuffle=True,
         )
-        sorted_df = sorted_df.cache()
+        sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
         n_pages = sorted_df.count()
         t2 = time.perf_counter()
         out["s_sort"] = t2 - t1
@@ -154,6 +165,8 @@ def flagship_pipeline(
         finally:
             shutil.rmtree(ckpt2, ignore_errors=True)
 
+    if cache_input:
+        enc.unpersist()
     total = time.perf_counter() - t0
     out["total_sec"] = total
     core = out["s_sort"] + out["s_pip"] + out["s_tiles"]
