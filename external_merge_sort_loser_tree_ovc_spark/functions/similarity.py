@@ -165,19 +165,126 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    method: str = "lsh",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with quantized dist2 <= dist2_max.
 
-    Exact at any scale *given* the candidate generator covers true
-    pairs: candidates = same sign-projection bucket; for near-identical
-    vectors (the dedup use case) sign flips only happen within
-    ``dist2_max`` of a hyperplane, so we probe all 1-bit-flip buckets of
-    planes whose |projection| is small — implemented conservatively here
-    as: bucket join on the stable-sign prefix.  For the oracle-gated
-    small-scale query use ``exact=True`` (full O(n^2) verify inside each
-    partition would not scale; the LSH path is the 100 TB design).
+    ``method="lsh"`` (default, the 100 TB path): sign-random-projection
+    buckets with EXACT multi-probe coverage — no driver collect, the
+    shuffle carries only (bucket, id, vector).  With ±1 hyperplanes,
+    Cauchy-Schwarz bounds the projection shift between two vectors at
+    distance d by sqrt(dim)*d, so a pair within ``dist2_max`` can only
+    disagree in sign on plane h when the probe side's projection
+    satisfies proj^2 <= dim * dist2_max.  Probing every sign combination
+    of exactly those "uncertain" planes therefore reaches every true
+    pair's home bucket: the candidate set provably covers all true
+    pairs, and the exact int64 verify inside the bucket join makes the
+    output identical to the O(n^2) oracle (bit-exact, not approximate).
+
+    ``method="exact"``: the blocked O(n^2) broadcast verify — the
+    small-scale oracle mode (<= ~10^5 vectors).
     """
-    return _neardup_exact(vectors, dist2_max, id_col=id_col, vec_col=vec_col)
+    if method == "exact":
+        return _neardup_exact(vectors, dist2_max, id_col=id_col, vec_col=vec_col)
+    return _neardup_lsh(
+        vectors, dist2_max, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+    )
+
+
+def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes):
+    """LSH candidates (bucket equi-join, exact-coverage multi-probe) +
+    exact int64 verify.  Fully distributed: no full-table collect."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    thr = int(dist2_max)
+    n_probe_buckets = 1 << n_planes
+
+    bucket_schema = StructType(
+        [
+            StructField("vid", LongType()),
+            StructField("bucket", LongType()),
+            StructField("e", ArrayType(FloatType())),
+        ]
+    )
+
+    def make_bucketizer(probe: bool):
+        def bucketize(it):
+            planes = None
+            dim = None
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+                if planes is None:
+                    dim = mat.shape[1]
+                    planes = _plane_signs(dim, n_planes)
+                proj = mat @ planes.T  # (n, P) int64, exact
+                home = ((proj > 0).astype(np.int64) << np.arange(
+                    n_planes, dtype=np.int64
+                )[None, :]).sum(axis=1)
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                if not probe:
+                    yield pd.DataFrame({"vid": ids, "bucket": home, "e": pdf[vec_col]})
+                    continue
+                # uncertain plane h: proj^2 <= dim * thr (sign could
+                # differ for a partner within thr) -> probe every sign
+                # combination of the uncertain planes, vectorized as an
+                # (n, 2^P) validity matrix over flip masks
+                unc_bits = (
+                    ((proj * proj) <= dim * thr).astype(np.int64)
+                    << np.arange(n_planes, dtype=np.int64)[None, :]
+                ).sum(axis=1)
+                masks = np.arange(n_probe_buckets, dtype=np.int64)[None, :]
+                valid = (masks & ~unc_bits[:, None]) == 0  # flips only uncertain planes
+                ii, cc = np.nonzero(valid)
+                yield pd.DataFrame(
+                    {
+                        "vid": ids[ii],
+                        "bucket": home[ii] ^ masks[0, cc],
+                        "e": pdf[vec_col].iloc[ii].to_numpy(),
+                    }
+                )
+
+        return bucketize
+
+    src = vectors.select(id_col, vec_col)
+    home_df = src.mapInPandas(make_bucketizer(False), schema=bucket_schema)
+    probe_df = src.mapInPandas(make_bucketizer(True), schema=bucket_schema).select(
+        F.col("vid").alias("pvid"), "bucket", F.col("e").alias("pe")
+    )
+    # probe x home bucket equi-join; id< keeps each unordered pair once
+    # per bucket side and the exact-coverage argument guarantees every
+    # true pair meets in the smaller id's probe set or the larger's
+    cand = probe_df.join(home_df, "bucket").filter(F.col("pvid") < F.col("vid"))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("dist2", LongType()),
+        ]
+    )
+
+    def verify(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            a = _quantize_np(np.stack(pdf["pe"].to_numpy()))
+            b = _quantize_np(np.stack(pdf["e"].to_numpy()))
+            d2 = ((a - b) * (a - b)).sum(axis=1)
+            keep = d2 <= thr
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["pvid"].to_numpy(dtype=np.int64)[keep],
+                        "id_b": pdf["vid"].to_numpy(dtype=np.int64)[keep],
+                        "dist2": d2[keep],
+                    }
+                )
+
+    pairs = cand.select("pvid", "pe", "vid", "e").mapInPandas(verify, schema=out_schema)
+    # a pair can meet in several probe buckets (multi-probe) -> distinct
+    return pairs.distinct()
 
 
 def _neardup_exact(vectors, dist2_max, *, id_col, vec_col):

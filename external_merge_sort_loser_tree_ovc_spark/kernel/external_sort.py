@@ -106,16 +106,20 @@ def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
     if len(tables) == 1:
         return tables[0]
     big = pa.concat_tables(tables, promote_options="default")
-    mats_exact = [key_matrix_table(t, key_cols) for t in tables]
-    exact = all(e for _, e in mats_exact)
+    # normalize ONCE over the concatenation, then slice per-run ranges:
+    # per-run matrices are not mutually comparable when nulls are
+    # unevenly distributed (the null-flag column exists only for runs
+    # that contain nulls -> misaligned widths); one shared matrix makes
+    # width AND packing parameters consistent by construction
+    mat, exact = key_matrix_table(big, key_cols)
     if exact:
-        # packing params MUST be shared across runs or codes from
-        # different runs are not mutually comparable
-        packed = K.pack_columns_shared([m for m, _ in mats_exact])
+        bounds = np.cumsum([0] + [t.num_rows for t in tables])
+        mats = [mat[bounds[i] : bounds[i + 1]] for i in range(len(tables))]
+        packed = K.pack_columns_shared(mats)
         if packed is not None:
             idx = vmerge.merge_runs_packed(packed)  # O(n log k), single-int compares
         else:
-            idx = vmerge.merge_runs_matrix([m for m, _ in mats_exact])
+            idx = vmerge.merge_runs_matrix(mats)
         return big.take(pa.array(idx))
     idx = pc.sort_indices(
         big, sort_keys=_sort_keys(key_cols), null_placement="at_start"
@@ -266,7 +270,13 @@ class ExternalSorter:
             if b.num_rows == 0:
                 continue
             self.metrics.rows_in += b.num_rows
-            self._fingerprint ^= row_fingerprint_table(b)
+            # checkpoint/resume validation needs a FULL content
+            # fingerprint (a prefix+length hash would replay a stale
+            # checkpoint over input that changed past byte 8); ephemeral
+            # spill dirs never resume, so they keep the cheap one
+            self._fingerprint ^= row_fingerprint_table(
+                b, full=self.checkpoint_inputs
+            )
             buf.append(b)
             buf_rows += b.num_rows
             if buf_rows >= budget:

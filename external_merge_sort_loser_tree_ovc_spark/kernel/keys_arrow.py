@@ -68,30 +68,89 @@ def _string_lens(arr) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
+_WORD_W = np.array(
+    [1, 31, 131, 257, 8191, 524287, 2147483647, 3, 7, 127, 911, 5381, 40503,
+     69061, 99991, 15485863],
+    dtype=np.uint64,
+)
+
+# padded-matrix path caps: beyond this, one giant row would blow up the
+# (n, Lmax) buffer — fall back to the flat-gather path
+_PAD_MAX_LEN = 4096
+_PAD_MAX_CELLS = 1 << 26
+
+
 def _weighted_byte_sum_chunk(chunk: pa.Array) -> np.ndarray:
-    """Per-row position-weighted byte sum (full content, vectorized):
-    sum over bytes of data[i] * W[(i - start) mod 16].  Content-sensitive
-    beyond the 8-byte prefix; used only for fingerprints."""
+    """Per-row position-weighted content sum (full content, vectorized).
+
+    Content-sensitive beyond the 8-byte prefix, position-sensitive
+    (catches transpositions), batching-invariant (weights depend only on
+    the position WITHIN the row); used only for fingerprints.
+
+    Fast path: pad each row to an 8-byte multiple in an (n, Lpad) uint8
+    matrix (one masked gather — the same pattern as the prefix code),
+    reinterpret as big-endian u64 words, fold words * W[word_pos mod 16]
+    mod 2^64.  8x less index arithmetic than a per-byte walk, which is
+    what dominates on allocation-bound boxes.  Degenerate layouts (a row
+    longer than 4 KiB) take the flat per-byte walk instead.
+    """
     n = len(chunk)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     starts, lens, data = _string_buffers(chunk)
+    if int(lens.sum()) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    # which path a row takes depends ONLY on that row's length, so the
+    # per-row value is invariant to how rows are batched together
+    small = lens <= _PAD_MAX_LEN
+    if small.any():
+        s_idx = np.flatnonzero(small)
+        s_starts, s_lens = starts[s_idx], lens[s_idx]
+        out[s_idx] = _padded_word_fold(s_starts, s_lens, data)
+    if not small.all():
+        l_idx = np.flatnonzero(~small)
+        out[l_idx] = _flat_byte_fold(starts[l_idx], lens[l_idx], data)
+    return out
+
+
+def _padded_word_fold(starts, lens, data) -> np.ndarray:
+    """Rows padded to 8-byte multiples in an (block, Lpad) matrix, read
+    as big-endian u64 words, folded as words * W[word_pos mod 16]."""
+    m = len(starts)
+    lmax = max(8, (int(lens.max()) + 7) & ~7)
+    block = max(1, _PAD_MAX_CELLS // lmax)
+    out = np.empty(m, dtype=np.uint64)
+    j = np.arange(lmax, dtype=np.int64)[None, :]
+    w = _WORD_W[np.arange(lmax // 8) & 15]
+    for i0 in range(0, m, block):
+        sl = slice(i0, min(i0 + block, m))
+        st, ln = starts[sl], lens[sl]
+        buf = np.zeros((len(st), lmax), dtype=np.uint8)
+        mask = j < ln[:, None]
+        idx = st[:, None] + j
+        buf[mask] = data[idx[mask]]
+        words = buf.view(">u8")
+        out[sl] = (words.astype(np.uint64) * w[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return out
+
+
+def _flat_byte_fold(starts, lens, data) -> np.ndarray:
+    """Per-byte weighted walk for very long rows (> _PAD_MAX_LEN).
+    A different fold than the padded path — consistent because a row's
+    path is determined by its own length alone."""
     total = int(lens.sum())
     if total == 0:
-        return np.zeros(n, dtype=np.uint64)
-    W = np.array(
-        [1, 31, 131, 257, 8191, 524287, 2147483647, 3, 7, 127, 911, 5381, 40503,
-         69061, 99991, 15485863],
-        dtype=np.uint64,
-    )
-    # explicit gather (safe for sliced/offset layouts)
-    row_start = np.cumsum(lens) - lens                # flat start of each row
+        return np.zeros(len(lens), dtype=np.uint64)
+    row_start = np.cumsum(lens) - lens
     pos = np.arange(total, dtype=np.int64) - np.repeat(row_start, lens)
     idx = np.repeat(starts, lens) + pos
-    contrib = data[idx].astype(np.uint64) * W[pos & 15]
-    sums = np.concatenate([[np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)])
+    contrib = data[idx].astype(np.uint64) * _WORD_W[pos & 15]
+    csum = np.concatenate([[np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)])
     ends = np.cumsum(lens)
-    return (sums[ends] - sums[ends - lens]).astype(np.uint64)
+    return (csum[ends] - csum[ends - lens]).astype(np.uint64)
 
 
 def string_prefix_u64(arr) -> np.ndarray:
@@ -100,24 +159,41 @@ def string_prefix_u64(arr) -> np.ndarray:
 
 
 def normalize_arrow_column(arr) -> NormalizedKey:
-    """Arrow column -> uint64 codes (same semantics as keys.normalize_column)."""
+    """Arrow column -> uint64 codes (same semantics as keys.normalize_column).
+
+    Nullable integer/boolean/timestamp chunks are read via
+    ``fill_null`` + native-dtype ``to_numpy`` — NOT the float64 round
+    trip ``to_numpy(zero_copy_only=False)`` takes for masked arrays,
+    which silently loses int64 precision above 2^53 and produces object
+    arrays for booleans.  Null ORDER is carried by the separate
+    ``isnull`` flag column (nulls first), so the fill value never
+    affects ordering.
+    """
     t = arr.type
     isnull = np.asarray(pc.is_null(arr)) if arr.null_count else None
     if pa.types.is_integer(t):
-        vals = arr.to_numpy(zero_copy_only=False)
-        codes = _int_to_u64(np.nan_to_num(vals) if vals.dtype.kind == "f" else vals)
+        if arr.null_count:
+            vals = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
+        codes = _int_to_u64(vals)
         return NormalizedKey(codes, True, 64, isnull)
     if pa.types.is_floating(t):
         vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         codes = _float_to_u64(np.nan_to_num(vals, nan=0.0))
         return NormalizedKey(codes, True, 64, isnull)
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        vals = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
-        codes = _int_to_u64(np.nan_to_num(vals))
+        as_int = pc.cast(arr, pa.int64())
+        if arr.null_count:
+            as_int = pc.fill_null(as_int, 0)
+        codes = _int_to_u64(as_int.to_numpy(zero_copy_only=False))
         return NormalizedKey(codes, True, 64, isnull)
     if pa.types.is_boolean(t):
-        vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
-        return NormalizedKey(vals, True, 64, isnull)
+        if arr.null_count:
+            vals = pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
+        return NormalizedKey(vals.astype(np.uint64), True, 64, isnull)
     if (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
@@ -146,6 +222,116 @@ def key_matrix_table(tbl: pa.Table, key_cols: list[str]) -> tuple[np.ndarray, bo
     return np.column_stack(cols), exact
 
 
+def _is_stringish(t) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _is_scalar_key_type(t) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_boolean(t)
+        or _is_stringish(t)
+    )
+
+
+_FP_W = np.array(
+    [1, 31, 131, 257, 8191, 524287, 2147483647, 3, 7, 127, 911, 5381, 40503,
+     69061, 99991, 15485863],
+    dtype=np.uint64,
+)
+
+
+def _segment_weighted_sum(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row position-weighted fold of variable-length per-value codes."""
+    n = len(lens)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.uint64)
+    row_start = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - np.repeat(row_start, lens)
+    contrib = codes.astype(np.uint64, copy=False) * _FP_W[pos & 15]
+    sums = np.concatenate([[np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)])
+    ends = np.cumsum(lens)
+    return (sums[ends] - sums[ends - lens]).astype(np.uint64)
+
+
+def _fp_column(col, *, full: bool, depth: int = 0) -> list[np.ndarray]:
+    """Per-row uint64 hash component arrays for ANY column type.
+
+    Key columns must pass ``normalize_arrow_column`` (which rejects
+    unsupported types); fingerprints cover the WHOLE row, so a table
+    that merely carries an embedding array / decimal / struct column
+    must not crash run formation — those fold through here instead."""
+    t = col.type
+    n = len(col)  # works for both Array and ChunkedArray
+    if _is_scalar_key_type(t):
+        nk = normalize_arrow_column(col)
+        parts = [nk.codes]
+        if nk.isnull is not None:
+            parts.append(nk.isnull.astype(np.uint64))
+        if _is_stringish(t):
+            parts.append(_string_lens(col).astype(np.uint64))
+            if full:
+                parts.append(
+                    np.concatenate([_weighted_byte_sum_chunk(c) for c in _chunks(col)])
+                    if n
+                    else np.zeros(0, np.uint64)
+                )
+        return parts
+    if pa.types.is_null(t):
+        return [np.zeros(n, dtype=np.uint64)]
+    if pa.types.is_decimal(t):
+        return _fp_column(pc.cast(col, pa.float64()), full=full, depth=depth)
+    if pa.types.is_dictionary(t):
+        return _fp_column(pc.cast(col, t.value_type), full=full, depth=depth)
+    if depth < 3 and (
+        pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+    ):
+        # per-row fold over the flattened child values (the embedding-
+        # column case): value codes from the child type, position-
+        # weighted segment sum + element count per row
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        values = pc.list_flatten(col)
+        vparts = _fp_column(values, full=full, depth=depth + 1)
+        vcodes = vparts[0]
+        for extra in vparts[1:]:
+            vcodes = vcodes ^ (extra * _GOLD)
+        parts = [_segment_weighted_sum(vcodes, lens), lens.astype(np.uint64)]
+        if col.null_count:
+            parts.append(np.asarray(pc.is_null(col)).astype(np.uint64))
+        return parts
+    if depth < 3 and pa.types.is_struct(t):
+        parts = []
+        combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        for i in range(t.num_fields):
+            parts.extend(_fp_column(combined.field(i), full=full, depth=depth + 1))
+        if col.null_count:
+            parts.append(np.asarray(pc.is_null(col)).astype(np.uint64))
+        return parts
+    # last resort (map/union/deep nesting): validity + a type constant —
+    # weaker (content-insensitive) but never blocks sorting a table that
+    # carries an exotic non-key column
+    isnull = (
+        np.asarray(pc.is_null(col)).astype(np.uint64)
+        if col.null_count
+        else np.zeros(n, dtype=np.uint64)
+    )
+    tconst = np.uint64(hash(str(t)) & 0xFFFFFFFF)
+    return [isnull + tconst]
+
+
 def row_fingerprint_table(tbl: pa.Table, *, full: bool = False) -> int:
     """Order-independent 64-bit content fingerprint: xor-fold of per-row
     mixed hashes over ALL columns.  Batching-invariant; vectorized.
@@ -154,7 +340,9 @@ def row_fingerprint_table(tbl: pa.Table, *, full: bool = False) -> int:
     string lengths — discriminates re-dealt partitions via any unique
     column prefix at ~0 cost.  ``full=True`` additionally folds a
     position-weighted sum over every string byte (content-sensitive past
-    the prefix; ~3x the fingerprint cost on text-heavy rows)."""
+    the prefix; ~3x the fingerprint cost on text-heavy rows) — the
+    resume-validation path uses this so a stale checkpoint can never be
+    replayed over input that changed beyond byte 8."""
     n = tbl.num_rows
     if n == 0:
         return 0
@@ -166,24 +354,8 @@ def row_fingerprint_table(tbl: pa.Table, *, full: bool = False) -> int:
         return a
 
     for name in tbl.schema.names:
-        col = tbl.column(name)
-        nk = normalize_arrow_column(col)
-        acc = mix(acc, nk.codes)
-        if nk.isnull is not None:
-            acc = mix(acc, nk.isnull.astype(np.uint64))
-        t = col.type
-        if (
-            pa.types.is_string(t)
-            or pa.types.is_large_string(t)
-            or pa.types.is_binary(t)
-            or pa.types.is_large_binary(t)
-        ):
-            acc = mix(acc, _string_lens(col).astype(np.uint64))
-            if full:
-                ws = np.concatenate(
-                    [_weighted_byte_sum_chunk(c) for c in _chunks(col)]
-                ) if col.length() else np.zeros(0, np.uint64)
-                acc = mix(acc, ws)
+        for part in _fp_column(tbl.column(name), full=full):
+            acc = mix(acc, part)
     # final per-row avalanche then xor-fold
     acc ^= acc >> np.uint64(33)
     acc *= np.uint64(0xFF51AFD7ED558CCD)

@@ -198,3 +198,48 @@ def test_decode_media_stub(spark, docs):
     frames = frame_sample(media, "payload", "doc_id", allow_fake=True).toPandas()
     assert len(frames) >= docs.count()
     assert (frames.frame_bytes >= 1).all()
+
+
+def test_neardup_lsh_equals_exact_on_adversarial_pairs(spark):
+    """Planted near-dup pairs that straddle LSH hyperplanes: the
+    multi-probe coverage argument (probe every plane with
+    proj^2 <= dim*thr) must make the LSH path return EXACTLY the
+    all-pairs result, including pairs whose home buckets differ."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.normal(0, 1, (40, dim)).astype("float32")
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, v)); vid += 1
+        # partner at a tiny offset -> near-dup pair, random direction so
+        # some pairs cross hyperplanes
+        rows.append((vid, v + rng.normal(0, 0.002, dim).astype("float32"))); vid += 1
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    df = spark.createDataFrame(pdf).repartition(8)
+    thr = 2000  # quantized units^2: catches the planted offsets
+    lsh = neardup_pairs(df, thr, method="lsh").toPandas()
+    exact = neardup_pairs(df, thr, method="exact").toPandas()
+    key = lambda d: set(zip(d.id_a, d.id_b, d.dist2))  # noqa: E731
+    assert key(lsh) == key(exact)
+    assert len(exact) >= 40  # every planted pair found
+
+
+def test_neardup_lsh_runs_no_job_at_construction(spark, emb):
+    """Regression: the old path did a full-table toPandas() at plan-
+    construction time (driver collect).  Building the LSH plan must not
+    launch any Spark job."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_pairs,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    _plan = neardup_pairs(emb, 10**6)  # build only, no action
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "plan construction launched Spark jobs"
