@@ -9,15 +9,20 @@ formula (texthash.py):
 - minhash+LSH:  J=8 minhash signatures over 3-word shingles -> 4 bands
                 of 2 -> candidate pairs via self-equi-join on
                 (band, band_value);
-- simhash:      16-bit simhash equality -> near-dup candidate pairs;
-- n-gram Jaccard: word-bigram inverted index self-join; the >= tau test
+- simhash:      wide banded simhash (4 bands x 15 bits) -> per-band
+                equi-join candidates with exact pigeonhole coverage of
+                hamming <= 3, bit_count verify (the 16-bit equality
+                variant remains for feature extraction only);
+- n-gram Jaccard: word-bigram inverted index self-join with an optional
+                document-frequency cutoff (``df_cap``); the >= tau test
                 is integer-exact (q*intersection >= p*union).
 
 Scale notes: pair-generation joins are quadratic in bucket size — hot
-buckets (boilerplate docs) are the skew risk at 100 TB; mitigate by
-dropping top-frequency grams/bands before the self-join (a standard
-df.filter on a broadcast frequency table) — AQE's skew-join split
-handles the shuffle side.
+buckets (boilerplate docs) are the skew risk at 100 TB.  Both banded
+simhash (``band_df_cap``) and n-gram Jaccard (``df_cap``) implement the
+cutoff as a broadcast anti-join against the over-cap key set, and their
+oracle generators mirror the same definition so the gate stays exact
+under either setting.  AQE's skew-join split handles the shuffle side.
 """
 
 from __future__ import annotations
@@ -106,9 +111,10 @@ WHERE a.{id_col} < b.{id_col}
 # --- simhash -------------------------------------------------------------------
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Pairs whose 16-bit simhash is identical (hamming-0 candidates;
-    widen by banding the simhash for hamming<=k).  Simhash comes from
-    the explode-agg path (one word-hash evaluation per word)."""
+    """Pairs whose 16-bit simhash is identical (hamming-0 collisions on
+    the feature-extraction simhash).  Small-scale / diagnostic only: 16
+    bits = 65,536 buckets, a quadratic trap on big corpora — use
+    ``simhash_hamming_pairs`` (wide banded, hamming<=k) at scale."""
     from .textops import with_text_features
 
     sh = with_text_features(df.select(id_col, text_col), text_col).select(
@@ -130,6 +136,145 @@ WITH sh AS (
 )
 SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
 FROM sh a JOIN sh b ON a.sh = b.sh AND a.{id_col} < b.{id_col}
+"""
+
+
+# --- banded wide simhash (hamming <= K, the scale path) -----------------------
+
+def simhash_band_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, b0..b3): four 15-bit simhash bands per document.
+
+    Explode-agg shape (one word-hash evaluation per word, one aggregate
+    with all 60 bit-vote sums) — the per-row array formulation would let
+    Catalyst re-inline the word pipeline into every bit term."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
+    ).withColumn("_h", F.expr(T.whash_sql("_w")))
+    nbits = T.SIMHASH_BANDS * T.SIMHASH_BAND_BITS
+    aggs = [
+        F.sum(F.expr(T.simhash_bit_vote_sql("_h", k))).alias(f"_sb{k}")
+        for k in range(nbits)
+    ]
+    grouped = words.groupBy(id_col).agg(*aggs)
+    band_cols = []
+    for b in range(T.SIMHASH_BANDS):
+        acc = None
+        for j in range(T.SIMHASH_BAND_BITS):
+            k = b * T.SIMHASH_BAND_BITS + j
+            bit = F.when(F.col(f"_sb{k}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        band_cols.append(acc.cast("bigint").alias(f"b{b}"))
+    return grouped.select(F.col(id_col), *band_cols)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = T.SIMHASH_HAMMING_K,
+    band_df_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs at wide-simhash hamming distance <= k (default 3).
+
+    Candidates: per-band equi-join on (band, value) — pigeonhole over
+    4 bands of 15 bits guarantees every pair within hamming 3 agrees on
+    a full band, so coverage is exact.  Verify: bit_count over the
+    band XORs.  The shuffle carries (id, band, value) = 24 bytes/row.
+
+    ``band_df_cap``: drop band values shared by more than this many
+    documents before the self-join (the boilerplate hot-bucket guard for
+    100 TB runs — a candidate pair is then only required to meet in a
+    sub-cap band).  None = exact pigeonhole coverage.
+    """
+    sh = simhash_band_table(df, id_col, text_col)
+    stack = ", ".join(f"{b}, b{b}" for b in range(T.SIMHASH_BANDS))
+    bands = sh.select(
+        F.col(id_col), F.expr(f"stack({T.SIMHASH_BANDS}, {stack}) AS (band, bv)")
+    ).select(id_col, "band", "bv")
+    if band_df_cap is not None:
+        hot = (
+            bands.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > band_df_cap)
+            .select("band", "bv")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bv")
+    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bv")
+    cand = (
+        a.join(b_, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sha = sh.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"b{i}").alias(f"xa{i}") for i in range(T.SIMHASH_BANDS)],
+    )
+    shb = sh.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"b{i}").alias(f"xb{i}") for i in range(T.SIMHASH_BANDS)],
+    )
+    ham = None
+    for i in range(T.SIMHASH_BANDS):
+        t = F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"xb{i}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_hamming_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = T.SIMHASH_HAMMING_K,
+    band_df_cap: int | None = None,
+) -> str:
+    """Same banded pipeline in DuckDB (bands, candidate equi-join,
+    bit_count verify) — formula-identical to the Spark side."""
+    d = _DUCK
+    band_sel = ", ".join(
+        f"CAST({T.simhash_band_sql(d, '_wh', b)} AS BIGINT) AS b{b}"
+        for b in range(T.SIMHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, b{b} AS bv FROM sh"
+        for b in range(T.SIMHASH_BANDS)
+    )
+    cap_cte = ""
+    bands_src = "bands"
+    if band_df_cap is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT band, bv FROM bands GROUP BY band, bv HAVING COUNT(*) > {band_df_cap}
+),
+bands_ok AS (
+  SELECT b.* FROM bands b ANTI JOIN capped c USING (band, bv)
+)"""
+        bands_src = "bands_ok"
+    ham = " + ".join(
+        f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(T.SIMHASH_BANDS)
+    )
+    return f"""
+WITH wh AS (SELECT {id_col}, {T.whash_arr(d, text_col)} AS _wh FROM {table}),
+sh AS (SELECT {id_col}, {band_sel} FROM wh),
+bands AS ({band_rows}){cap_cte},
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM {bands_src} a JOIN {bands_src} b
+    ON a.band = b.band AND a.bv = b.bv AND a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+  FROM cand JOIN sh x ON x.{id_col} = id_a JOIN sh y ON y.{id_col} = id_b
+) WHERE hamming <= {k}
 """
 
 
@@ -158,13 +303,31 @@ def ngram_jaccard_pairs(
     *,
     tau_num: int = 1,
     tau_den: int = 2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairs with word-bigram Jaccard >= tau_num/tau_den (integer-exact
-    comparison).  Inverted-index self-join, then exact set arithmetic."""
+    comparison).  Inverted-index self-join, then exact set arithmetic.
+
+    ``df_cap``: grams appearing in more than this many documents are
+    excluded from the index AND from the per-doc gram counts (Jaccard is
+    then over the sub-cap gram sets — the standard stop-gram cutoff).
+    One boilerplate bigram ("of the") otherwise creates a quadratic hot
+    bucket in the self-join at scale; the cutoff bounds every bucket at
+    df_cap.  The oracle generator takes the same cap, so the gate stays
+    bit-exact under either setting.
+    """
     grams = (
         df.select(F.col(id_col), F.explode(F.expr(_bigrams_spark(text_col))).alias("g"))
         .distinct()
     )
+    if df_cap is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
     counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")
@@ -188,12 +351,26 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_oracle_sql(
-    table: str, id_col: str, text_col: str = "text", *, tau_num: int = 1, tau_den: int = 2
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    df_cap: int | None = None,
 ) -> str:
-    return f"""
-WITH grams AS (
+    gram_cte = f"""
   SELECT DISTINCT {id_col}, unnest({_bigrams_duck(text_col)}) AS g FROM {table}
-),
+"""
+    if df_cap is not None:
+        gram_cte = f"""
+  SELECT * FROM ({gram_cte}) g0
+  WHERE g NOT IN (
+    SELECT g FROM ({gram_cte}) GROUP BY g HAVING COUNT(*) > {df_cap}
+  )
+"""
+    return f"""
+WITH grams AS ({gram_cte}),
 counts AS (SELECT {id_col}, COUNT(*) AS n FROM grams GROUP BY {id_col}),
 inter AS (
   SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS c

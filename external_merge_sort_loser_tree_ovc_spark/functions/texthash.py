@@ -25,6 +25,13 @@ MINHASH_B = [12345, 1013904223, 1103515245, 22695477, 69069, 1664525, 75, 110324
 N_SIG = 8
 N_BANDS = 4  # bands of 2 signatures each
 SIMHASH_BITS = 16
+# banded wide simhash (near-dup pairs at hamming <= K): 4 bands x 15
+# bits = 60 bits total.  Pigeonhole: two hashes within hamming K=3 agree
+# on at least one full band, so a per-band equi-join provably covers
+# every true pair — no 2^16-bucket quadratic trap, no missed near-dups.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_HAMMING_K = 3
 FP_STEP = 1_000_003  # fingerprint positional multiplier
 
 STOPWORDS = (
@@ -134,6 +141,31 @@ def simhash_sql(d: Dialect, wh_arr: str) -> str:
     for j in range(SIMHASH_BITS):
         bit = d.band(d.shr("h", j), "1")
         s = d.arr_sum(d.transform(wh_arr, "h", f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"))
+        parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash_bit_params(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) rehash params for global simhash bit k: bit k
+    of the wide simhash votes on the parity of (a*wh + b) mod P, giving
+    60 independent bits from a 31-bit word hash."""
+    a = (2654435761 * (k + 1)) % P or 1
+    b = (40503 * (k + 7)) % P
+    return a, b
+
+
+def simhash_bit_vote_sql(h: str, k: int) -> str:
+    """±1 vote of one word hash on global bit k (dialect-independent)."""
+    a, b = simhash_bit_params(k)
+    return f"(CASE WHEN ((({a} * {h} + {b}) % {P}) & 1) = 1 THEN 1 ELSE -1 END)"
+
+
+def simhash_band_sql(d: Dialect, wh_arr: str, band: int) -> str:
+    """One 15-bit band of the wide simhash from a word-hash array."""
+    parts = []
+    for j in range(SIMHASH_BAND_BITS):
+        k = band * SIMHASH_BAND_BITS + j
+        s = d.arr_sum(d.transform(wh_arr, "h", simhash_bit_vote_sql("h", k)))
         parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
 

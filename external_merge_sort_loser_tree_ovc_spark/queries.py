@@ -34,8 +34,8 @@ from .functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_oracle_sql,
     ngram_jaccard_pairs,
-    simhash_pairs,
-    simhash_pairs_oracle_sql,
+    simhash_hamming_oracle_sql,
+    simhash_hamming_pairs,
 )
 from .functions.multimodal import media_metadata, media_metadata_oracle_sql
 from .functions.similarity import (
@@ -213,7 +213,11 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash_pairs(_read(spark, sf_dir, "documents"), "doc_id")
+    """Near-dup pairs at wide-simhash hamming <= 3 (banded: 4x15-bit
+    equi-join candidates, exact pigeonhole coverage, bit_count verify).
+    Replaces the round-1 hamming-0 16-bit variant (quadratic trap at
+    scale: 65,536 buckets)."""
+    return simhash_hamming_pairs(_read(spark, sf_dir, "documents"), "doc_id")
 
 
 def q_dedup_ngram(spark, sf_dir):
@@ -592,7 +596,7 @@ ORACLES: dict[str, str] = {
     "q_raster_vector": _oracle_raster_vector(),
     "q_dedup_exact": exact_dedup_oracle_sql("documents", "doc_id"),
     "q_dedup_minhash": minhash_lsh_oracle_sql("documents", "doc_id"),
-    "q_dedup_simhash": simhash_pairs_oracle_sql("documents", "doc_id"),
+    "q_dedup_simhash": simhash_hamming_oracle_sql("documents", "doc_id"),
     "q_dedup_ngram": ngram_jaccard_oracle_sql("documents", "doc_id"),
     "q_text_features": text_features_oracle_sql("documents", "doc_id"),
     "q_ann_topk": _oracle_ann_topk(),

@@ -243,3 +243,99 @@ def test_neardup_lsh_runs_no_job_at_construction(spark, emb):
     _plan = neardup_pairs(emb, 10**6)  # build only, no action
     after = set(tracker.getJobIdsForGroup(None))
     assert before == after, "plan construction launched Spark jobs"
+
+
+def _mkdocs(spark, texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf).repartition(4)
+
+
+def test_simhash_banded_equals_bruteforce(spark):
+    """Pigeonhole coverage: the banded candidate join must find EVERY
+    pair within hamming<=3 of the 60-bit simhash — including planted
+    near-dups whose hashes differ in 1-3 bits spread across bands."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        simhash_band_table,
+        simhash_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = []
+    for _ in range(60):
+        base = list(rng.choice(vocab, 30))
+        texts.append(" ".join(base))
+        mut = base.copy()
+        for j in rng.choice(len(mut), 2, replace=False):  # small edit
+            mut[j] = str(rng.choice(vocab))
+        texts.append(" ".join(mut))
+    df = _mkdocs(spark, texts)
+    got = simhash_hamming_pairs(df, "doc_id").toPandas()
+    # brute force over the band table
+    sh = simhash_band_table(df, "doc_id").toPandas().sort_values("doc_id")
+    bits = sh[[f"b{i}" for i in range(4)]].to_numpy(np.int64)
+    ids = sh["doc_id"].to_numpy()
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = sum(bin(int(bits[i, c]) ^ int(bits[j, c])).count("1") for c in range(4))
+            if h <= 3:
+                exp.add((ids[i], ids[j], h))
+    assert set(zip(got.id_a, got.id_b, got.hamming)) == exp
+    assert len(exp) > 0  # planted near-dups actually landed within 3 bits
+
+
+def test_simhash_band_df_cap_bounds_hot_buckets(spark):
+    """A boilerplate-heavy corpus (many identical short docs) creates
+    one hot band value; band_df_cap drops it so candidate counts stay
+    bounded, while distinct near-dup pairs outside the hot set remain."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    boiler = ["copyright terms of service all rights reserved"] * 50
+    uniq = [f"unique document number {i} with distinct words {i*7} {i*13}"
+            for i in range(20)]
+    df = _mkdocs(spark, boiler + uniq)
+    uncapped = simhash_hamming_pairs(df, "doc_id").toPandas()
+    capped = simhash_hamming_pairs(df, "doc_id", band_df_cap=10).toPandas()
+    # hot bucket contributes 50*49/2 pairs uncapped; cap removes them
+    assert len(uncapped) >= 50 * 49 // 2
+    assert len(capped) < len(uncapped)
+    # capped output is a subset (never invents pairs)
+    k = lambda d: set(zip(d.id_a, d.id_b))  # noqa: E731
+    assert k(capped) <= k(uncapped)
+
+
+def test_simhash_capped_oracle_matches(spark):
+    """The band_df_cap definition is mirrored by the oracle generator."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        simhash_hamming_oracle_sql,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    got = simhash_hamming_pairs(docs, "doc_id", band_df_cap=5)
+    exp = _duck(simhash_hamming_oracle_sql("documents", "doc_id", band_df_cap=5))
+    _cmp(got, exp, ["id_a", "id_b"])
+
+
+def test_ngram_df_cap_bounds_and_oracle_matches(spark):
+    """Boilerplate bigram creates a quadratic bucket; df_cap removes it,
+    and the capped oracle stays bit-exact with the capped engine."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        ngram_jaccard_oracle_sql,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = [f"unique{i} stuff{i*3} of the essence here" for i in range(40)]
+    df = _mkdocs(spark, boiler)
+    # every doc shares "of the" etc -> uncapped index has a 40-doc bucket
+    uncapped_cand = ngram_jaccard_pairs(df, "doc_id", tau_num=1, tau_den=10)
+    capped = ngram_jaccard_pairs(df, "doc_id", tau_num=1, tau_den=10, df_cap=10)
+    assert capped.count() < uncapped_cand.count()
+    # oracle parity on real gate data with the cap engaged
+    docs = spark.read.parquet(DOCS)
+    got = ngram_jaccard_pairs(docs, "doc_id", df_cap=50)
+    exp = _duck(ngram_jaccard_oracle_sql("documents", "doc_id", df_cap=50))
+    _cmp(got, exp, ["id_a", "id_b"])
