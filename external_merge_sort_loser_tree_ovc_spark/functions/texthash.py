@@ -84,6 +84,16 @@ class Dialect:
     def size(self, arr: str) -> str:
         return f"size({arr})" if self.name == "spark" else f"len({arr})"
 
+    def regexp_replace(self, x: str, pattern: str, repl: str) -> str:
+        """Replace ALL matches (Spark does globally by default; DuckDB
+        needs the 'g' flag)."""
+        if self.name == "spark":
+            return f"regexp_replace({x}, '{pattern}', '{repl}')"
+        return f"regexp_replace({x}, '{pattern}', '{repl}', 'g')"
+
+    def decode_utf8(self, b: str) -> str:
+        return f"decode({b}, 'UTF-8')" if self.name == "spark" else f"decode({b})"
+
     def shr(self, x: str, k: int) -> str:
         return f"shiftright({x}, {k})" if self.name == "spark" else f"({x} >> {k})"
 

@@ -90,6 +90,44 @@ FROM {table}
 """
 
 
+def extract_text_sql(d: T.Dialect, html_col: str) -> str:
+    """html (binary) -> extracted plain text, one shared formula:
+
+      decode utf-8
+      -> drop <script>/<style> elements with their contents ((?s) makes
+         '.' span newlines in both Java regex and RE2)
+      -> strip remaining tags
+      -> unescape the five standard entities (&amp; last)
+      -> collapse whitespace runs, trim
+
+    Deterministic and dialect-identical, so extraction is oracle-gated
+    and the north-star per-row invariant (byte-identical extracted text
+    per url) is checkable against any stored text column.  All built-in
+    string expressions — codegen'd, no Python, pipelined with the scan.
+    """
+    x = d.decode_utf8(html_col)
+    # NOTE: no bare backslash classes ([^>]* instead of \s*) — Spark SQL
+    # single-quoted literals drop unknown backslash escapes
+    x = d.regexp_replace(x, "(?s)<(script|style)[^>]*>.*?</(script|style)[^>]*>", " ")
+    x = d.regexp_replace(x, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ):
+        x = f"replace({x}, '{ent}', '{ch}')"
+    x = d.regexp_replace(x, "[ \\t\\n\\r]+", " ")
+    return f"trim({x})"
+
+
+def extract_text(df: DataFrame, html_col: str = "html", out_col: str = "text_extracted") -> DataFrame:
+    """Append ``out_col`` with the plain text extracted from the binary
+    html column (vectorized built-ins; see extract_text_sql)."""
+    return df.withColumn(out_col, F.expr(extract_text_sql(_SPARK, html_col)))
+
+
 def minhash_sigs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, s0..s{J-1}) minhash signatures over 3-word shingles.
 

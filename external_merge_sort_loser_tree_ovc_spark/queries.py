@@ -45,7 +45,13 @@ from .functions.similarity import (
     neardup_oracle_sql,
     neardup_pairs,
 )
-from .functions.textops import text_features_oracle_sql, with_text_features
+from .functions.textops import (
+    _DUCK,
+    _SPARK,
+    extract_text_sql,
+    text_features_oracle_sql,
+    with_text_features,
+)
 from .operators.sort import external_sort_df
 from .operators.witness import sortedness_report
 from .spatial import cells
@@ -247,6 +253,36 @@ def q_ann_lsh(spark, sf_dir):
     mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
     qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
     return ann_lsh_bucketed(emb, qids, ANN_K)
+
+
+_HTML_PRE = (
+    "<html><head><title>d</title><script>var a = 1;</script>"
+    "</head><body><h1>Doc &amp; body</h1><p>"
+)
+_HTML_POST = "</p></body></html>"
+
+
+def q_text_extract(spark, sf_dir):
+    """html (binary) -> plain text: wrap each document's text in a
+    deterministic html envelope (script element, entities, tags), then
+    run the vectorized extraction chain (input_hint's html column; the
+    north-star byte-identical-text invariant is asserted on synth_pages
+    in tests/test_functions.py).  All built-in expressions."""
+    docs = _read(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)), "utf-8"
+    )
+    return docs.select(F.col("doc_id"), html.alias("_h")).select(
+        "doc_id", F.expr(extract_text_sql(_SPARK, "_h")).alias("extracted")
+    )
+
+
+def _oracle_text_extract() -> str:
+    wrap = f"encode('{_HTML_PRE}' || text || '{_HTML_POST}')"
+    return (
+        f"SELECT doc_id, {extract_text_sql(_DUCK, wrap)} AS extracted "
+        "FROM documents"
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -563,6 +599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_neardup": q_ann_neardup,
     "q_ann_lsh": q_ann_lsh,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_text_extract": q_text_extract,
     # relational built-ins
     "q_tpch_q1": q_tpch_q1,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -603,6 +640,7 @@ ORACLES: dict[str, str] = {
     "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),
+    "q_text_extract": _oracle_text_extract(),
     "q_tpch_q1": _oracle_tpch_q1(),
     "q_revenue_by_nation": _oracle_revenue_by_nation(),
     "q_window_topk": _oracle_window_topk(),

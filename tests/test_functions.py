@@ -339,3 +339,41 @@ def test_ngram_df_cap_bounds_and_oracle_matches(spark):
     got = ngram_jaccard_pairs(docs, "doc_id", df_cap=50)
     exp = _duck(ngram_jaccard_oracle_sql("documents", "doc_id", df_cap=50))
     _cmp(got, exp, ["id_a", "id_b"])
+
+
+def test_extract_text_northstar_invariant(spark):
+    """input_hint per-row invariant: byte-identical extracted text per
+    url over the synthesized Common-Crawl-style page table."""
+    from pyspark.sql import functions as F
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.textops import extract_text
+    from external_merge_sort_loser_tree_ovc_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 5000)
+    bad = (
+        extract_text(pages, "html")
+        .filter(F.col("text_extracted") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extract_text_strips_script_style_entities(spark):
+    from external_merge_sort_loser_tree_ovc_spark.functions.textops import extract_text
+
+    cases = [
+        (b"<html><body><p>Hello &amp; welcome</p>"
+         b"<script>var x=1;\nalert('x')</script><div>to the  site</div></body></html>",
+         "Hello & welcome to the site"),
+        (b"<style>p {color: red}</style>a &lt;b&gt; c &quot;d&quot; &#39;e&#39;",
+         "a <b> c \"d\" 'e'"),
+        (b"plain no tags", "plain no tags"),
+    ]
+    pdf = pd.DataFrame({"i": range(len(cases)), "html": [c[0] for c in cases]})
+    got = (
+        extract_text(spark.createDataFrame(pdf), "html")
+        .toPandas()
+        .sort_values("i")["text_extracted"]
+        .tolist()
+    )
+    assert got == [c[1] for c in cases]
