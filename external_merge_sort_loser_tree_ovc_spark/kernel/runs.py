@@ -30,6 +30,7 @@ class RunInfo:
     path: str
     rows: int
     generation: int = 0
+    seq: int = 0  # creation order: deterministic tie-break for equal sizes
 
 
 @dataclass
@@ -37,6 +38,7 @@ class RunStore:
     root: str
     spill_rows: int = 0
     runs: list[RunInfo] = field(default_factory=list)
+    next_seq: int = 0
     # manifest may live above root (staging stores commit into the
     # partition dir so a later resume finds one canonical manifest)
     manifest_dir: str | None = None
@@ -46,7 +48,9 @@ class RunStore:
 
     # -- spill ---------------------------------------------------------------
     def write_run(self, table: pa.Table, generation: int = 0) -> RunInfo:
-        path = os.path.join(self.root, f"run-{uuid.uuid4().hex}.arrow")
+        seq = self.next_seq
+        self.next_seq += 1
+        path = os.path.join(self.root, f"run-{seq:06d}-{uuid.uuid4().hex}.arrow")
         tmp = path + ".tmp"
         # lz4 halves run-file bytes for text-heavy rows: spill IO is the
         # non-scaling resource on a single box (and a real cluster's disk
@@ -55,11 +59,16 @@ class RunStore:
         with ipc.new_file(tmp, table.schema, options=opts) as w:
             w.write_table(table)
         os.rename(tmp, path)
-        info = RunInfo(path=path, rows=table.num_rows, generation=generation)
+        info = RunInfo(
+            path=path, rows=table.num_rows, generation=generation, seq=seq
+        )
         self.spill_rows += table.num_rows
-        # insert keeping size-ascending order (HDD.cpp:14-27)
+        # size-ascending order (HDD.cpp:14-27); ties broken by creation
+        # order so merge order (and thus comparison counts) is
+        # DETERMINISTIC — a uuid-name tie-break reshuffled equal-size
+        # runs and made col_compares vary run to run
         self.runs.append(info)
-        self.runs.sort(key=lambda r: (r.rows, r.path))
+        self.runs.sort(key=lambda r: (r.rows, r.seq))
         return info
 
     def read_run(self, info: RunInfo) -> pa.Table:
@@ -83,7 +92,12 @@ class RunStore:
             "state": state,
             "spill_rows": self.spill_rows,
             "runs": [
-                {"path": r.path, "rows": r.rows, "generation": r.generation}
+                {
+                    "path": r.path,
+                    "rows": r.rows,
+                    "generation": r.generation,
+                    "seq": r.seq,
+                }
                 for r in self.runs
             ],
         }
@@ -108,7 +122,13 @@ class RunStore:
             if not os.path.exists(r["path"]):
                 return None  # torn state: fall back to full recompute
             runs.append(
-                RunInfo(path=r["path"], rows=r["rows"], generation=r.get("generation", 0))
+                RunInfo(
+                    path=r["path"],
+                    rows=r["rows"],
+                    generation=r.get("generation", 0),
+                    seq=r.get("seq", 0),
+                )
             )
         store.runs = runs
+        store.next_seq = 1 + max((r.seq for r in runs), default=-1)
         return store, doc
