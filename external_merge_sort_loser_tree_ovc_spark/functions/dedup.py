@@ -66,13 +66,24 @@ def exact_dedup_oracle_sql(table: str, id_col: str, text_col: str = "text") -> s
 
 # --- minhash + LSH ------------------------------------------------------------
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    band_df_cap: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded minhash.
 
     Unpivots the J signature columns into (id, band, bv) with one
     ``stack`` projection (no N_BANDS-way union), then a self equi-join
     on (band, bv).  At scale the join shuffles only (id, band, bv)
-    triples — 24 bytes/row — never the text."""
+    triples — 24 bytes/row — never the text.
+
+    ``band_df_cap``: band values shared by more than this many docs
+    (boilerplate near-identical corpora) are dropped before the
+    self-join via a broadcast anti-join — bounds every join bucket; a
+    pair then needs a sub-cap band in common."""
     sigs = minhash_sigs(df.select(id_col, text_col), id_col, text_col)
     sig_cols = [f"s{j}" for j in range(T.N_SIG)]
     stack = ", ".join(
@@ -82,6 +93,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> Dat
         F.col(id_col),
         F.expr(f"stack({T.N_BANDS}, {stack}) AS (band, bv)"),
     ).select(id_col, "band", "bv")
+    if band_df_cap is not None:
+        hot = (
+            bands.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > band_df_cap)
+            .select("band", "bv")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bv")
     b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bv")
     return (

@@ -377,3 +377,18 @@ def test_extract_text_strips_script_style_entities(spark):
         .tolist()
     )
     assert got == [c[1] for c in cases]
+
+
+def test_minhash_band_df_cap_bounds_hot_buckets(spark):
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = ["terms of service apply to all pages on this site"] * 40
+    uniq = [f"doc {i} body words alpha{i} beta{i*3} gamma{i*7} delta{i*11}"
+            for i in range(10)]
+    df = _mkdocs(spark, boiler + uniq)
+    uncapped = minhash_lsh_pairs(df, "doc_id").count()
+    capped = minhash_lsh_pairs(df, "doc_id", band_df_cap=8).count()
+    assert uncapped >= 40 * 39 // 2
+    assert capped < uncapped
