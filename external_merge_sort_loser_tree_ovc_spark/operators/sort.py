@@ -129,6 +129,26 @@ def external_sort_df(
     return df.mapInArrow(fn, schema=df.schema)
 
 
+_NUMERIC_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _identity_shuffle_keys(spark, n: int) -> list[int]:
+    """x_t per target partition t with pmod(murmur3(x_t), n) == t, so
+    ``repartition(n, key)`` places bucket t in partition t exactly.
+    One tiny deterministic job; F.hash is the same Murmur3(seed=42) that
+    HashPartitioning uses."""
+    rows = (
+        spark.range(0, max(64 * n, 1024))
+        .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("t"))
+        .groupBy("t")
+        .agg(F.min("id").alias("x"))
+        .collect()
+    )
+    lut = {int(r["t"]): int(r["x"]) for r in rows}
+    assert len(lut) == n, "murmur3 preimage table incomplete; widen the scan"
+    return [lut[t] for t in range(n)]
+
+
 def salted_repartition_by_range(
     df: DataFrame,
     keys: list[str],
@@ -137,7 +157,7 @@ def salted_repartition_by_range(
     num_partitions: int | None = None,
     salt_col: str = "_salt",
 ) -> DataFrame:
-    """Range partition on (keys..., salt) so hot keys split across
+    """Range partition on (key, salt) so hot keys split across
     partitions while global key order stays contiguous.
 
     The salt is a deterministic hash of the whole row (xxhash64 of all
@@ -145,13 +165,43 @@ def salted_repartition_by_range(
     ``rand()``.  Equal keys land in up to ``salt_buckets`` adjacent range
     partitions; a downstream per-key merge (groupBy or the kernel's
     multi-run merge) re-unifies them.
+
+    Unlike ``repartitionByRange`` (whose range bounds come from a sample
+    seeded by the RDD id, so two runs of the SAME job deal rows
+    differently — silently defeating fingerprint-verified checkpoint
+    replay), this partitioner is fully deterministic for a single
+    integer key: bucket bounds are quantiles of the combined
+    (key * salt_buckets + salt) value, the bucket id is an explicit
+    column, and an identity murmur3-preimage mapping pins bucket i to
+    partition i (partition order == key-range order).  Non-integer or
+    multi-column keys fall back to ``repartitionByRange``.
     """
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     salted = df.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     )
-    parted = salted.repartitionByRange(n, *[F.col(k) for k in keys], F.col(salt_col))
-    return parted.drop(salt_col)
+    dtypes = dict(df.dtypes)
+    if len(keys) != 1 or dtypes.get(keys[0]) not in _NUMERIC_KEY_TYPES or n < 2:
+        parted = salted.repartitionByRange(n, *[F.col(k) for k in keys], F.col(salt_col))
+        return parted.drop(salt_col)
+
+    ck = (F.col(keys[0]).cast("bigint") * salt_buckets + F.col(salt_col)).alias("_ck")
+    staged = salted.withColumn("_ck", ck)
+    probs = [i / n for i in range(1, n)]
+    bounds = staged.stat.approxQuantile("_ck", probs, 1.0 / max(1000, 10 * n))
+    arr = ", ".join(str(int(b)) for b in bounds)
+    pid = F.expr(f"size(filter(array({arr}), b -> b < _ck))")
+    xs = _identity_shuffle_keys(df.sparkSession, n)
+    # murmur3 is TYPE-sensitive: the preimage table hashed BIGINTs, so
+    # the literals must be BIGINT too or the mapping silently scrambles
+    part_key = F.element_at(
+        F.array(*[F.lit(x).cast("bigint") for x in xs]), (pid + 1).cast("int")
+    )
+    return (
+        staged.withColumn("_pk", part_key)
+        .repartition(n, F.col("_pk"))
+        .drop(salt_col, "_ck", "_pk")
+    )
 
 
 def read_lineage(spark, checkpoint_dir: str) -> DataFrame:

@@ -43,6 +43,7 @@ def flagship_pipeline(
     count_compares: bool = True,
     keep_lineage: bool = False,
     cache_input: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Run the full pipeline; returns a metrics dict (wall seconds per
     stage, pages/sec, merge comparisons/sec, witness parity in==out)."""
@@ -69,7 +70,13 @@ def flagship_pipeline(
     out["s_encode_witness"] = t1 - t0
 
     spill_root = default_spill_root()
-    ckpt = tempfile.mkdtemp(prefix="emsort-flagship-", dir=spill_root)
+    # an explicit checkpoint_dir persists across invocations: re-running
+    # the job with the same dir replays committed per-partition runs
+    # (fingerprint-verified) instead of re-sorting — the north_rule's
+    # resumability.  Without one, a private dir is used and removed.
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="emsort-flagship-", dir=spill_root)
+    os.makedirs(ckpt, exist_ok=True)
     try:
         salted = salted_repartition_by_range(
             enc, ["morton"], salt_buckets=salt_buckets, num_partitions=n_parts
@@ -119,11 +126,13 @@ def flagship_pipeline(
         out["spill_rows"] = sum(m.get("spill_rows", 0) for m in lineage)
         out["runs_formed"] = sum(m.get("runs_formed", 0) for m in lineage)
         out["merge_passes_max"] = max((m.get("passes", 0) for m in lineage), default=0)
+        out["partitions_resumed"] = sum(1 for m in lineage if m.get("resumed"))
         if keep_lineage:
             out["lineage"] = lineage
         sorted_df.unpersist()
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     # exact-mode comparison counting over the integer key projection
     if count_compares:

@@ -56,6 +56,7 @@ def main(argv=None):
         tile_zoom=args.tile_zoom,
         num_partitions=args.partitions,
         salt_buckets=args.salt_buckets,
+        checkpoint_dir=args.checkpoint,
     )
     doc = json.dumps({k: v for k, v in metrics.items() if k != "lineage"})
     print(doc)

@@ -140,3 +140,33 @@ def test_catalog_iceberg_branch_logic(spark, monkeypatch):
     assert calls["ident"] == "warehouse.cc.pages"
     assert calls["opts"] == {"snapshot-id": "42"}
     assert df.columns == ["url", "text"]
+
+
+def test_flagship_resumes_from_external_checkpoint(spark, tmp_path):
+    """north_rule resumability at the JOB level: a second run with the
+    same --checkpoint dir replays every partition's committed runs
+    (fingerprint-verified) and produces identical outputs."""
+    ck = str(tmp_path / "ck")
+    pages = synth_pages(spark, 12000, seed=3)
+    m1 = flagship_pipeline(
+        spark, pages, num_partitions=4, checkpoint_dir=ck,
+        count_compares=False, memory_budget_rows=1024,
+    )
+    assert m1["partitions_resumed"] == 0
+    m2 = flagship_pipeline(
+        spark, pages, num_partitions=4, checkpoint_dir=ck,
+        count_compares=False, memory_budget_rows=1024,
+    )
+    # every NON-EMPTY partition resumes (an empty partition commits no
+    # runs — nothing to replay, recompute costs zero)
+    assert m2["partitions_resumed"] >= 3
+    assert m2["n_pages"] == m1["n_pages"] == 12000
+    assert m2["pip_hits"] == m1["pip_hits"]
+    assert m2["n_tiles"] == m1["n_tiles"]
+    # changed input with the same checkpoint dir must NOT replay
+    m3 = flagship_pipeline(
+        spark, synth_pages(spark, 12000, seed=4), num_partitions=4,
+        checkpoint_dir=str(tmp_path / "ck"), count_compares=False,
+        memory_budget_rows=1024,
+    )
+    assert m3["partitions_resumed"] == 0
