@@ -118,10 +118,19 @@ def run_default() -> dict:
             times[name] = min(times.get(name, dt), dt)
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
-    pages = synth_pages(spark, n_pages)
-    t0 = time.perf_counter()
-    fm = flagship_pipeline(spark, pages, num_partitions=CPUS)
-    times["flagship_pipeline"] = round(time.perf_counter() - t0, 3)
+    # drop DataFrame caches left by the query sweep (q_ann_lsh etc.) so
+    # the flagship's own persist isn't fighting a full storage pool
+    spark.catalog.clearCache()
+    fm = None
+    for _ in range(2):  # best-of-2, same rationale as the query sweep
+        pages = synth_pages(spark, n_pages)
+        t0 = time.perf_counter()
+        m = flagship_pipeline(spark, pages, num_partitions=CPUS)
+        dt = round(time.perf_counter() - t0, 3)
+        if fm is None or dt < times["flagship_pipeline"]:
+            times["flagship_pipeline"] = dt
+            fm = m
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     doc = {
@@ -236,14 +245,105 @@ def run_scaling(levels: list[int], n_pages: int, repeat: int = 3) -> dict:
     }
 
 
+def _kernel_worker_main(rows: int, out_path: str):
+    """One executor-analogue process: exact-mode kernel sort of a fixed
+    seeded fixture, spill on tmpfs; writes compares+seconds JSON."""
+    import tempfile
+
+    from external_merge_sort_loser_tree_ovc_spark.kernel.external_sort import (
+        ExternalSorter,
+    )
+    from external_merge_sort_loser_tree_ovc_spark.runtime import default_spill_root
+    from external_merge_sort_loser_tree_ovc_spark.sources.fixtures import kernel_frame
+
+    frame = kernel_frame(rows, cols=4, domain=10_000, scan_type=0, seed=7)
+    batch = 4096
+    with tempfile.TemporaryDirectory(dir=default_spill_root()) as d:
+        sorter = ExternalSorter(
+            key_cols=list(frame.columns),
+            spill_dir=d,
+            memory_budget_rows=rows // 16,
+            batch_rows=batch,
+            mode="exact",
+        )
+        t0 = time.perf_counter()
+        chunks = (frame.iloc[i : i + batch] for i in range(0, len(frame), batch))
+        for _ in sorter.sort(chunks):
+            pass
+        dt = time.perf_counter() - t0
+    m = sorter.metrics
+    with open(out_path, "w") as f:
+        json.dump(
+            {"compares": m.ovc_compares + m.col_compares, "sec": dt, "rows": rows},
+            f,
+        )
+
+
+def run_kernel_scaling(levels: list[int], rows: int, repeat: int = 3) -> dict:
+    """North-rule CPU evidence without Spark overheads: N independent
+    kernel processes (the executor-core analogue — a real cluster adds
+    whole processes with their own memory, not threads against one
+    shared heap) each run the SAME exact-mode external sort; aggregate
+    merge-comparison throughput at N vs 4N processes gives the scaling
+    efficiency of the compute kernel itself."""
+    results = {}
+    for nproc in levels:
+        best = 0.0
+        for _ in range(repeat):
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                outs = [os.path.join(td, f"{i}.json") for i in range(nproc)]
+                t0 = time.perf_counter()
+                procs = [
+                    subprocess.Popen(
+                        [
+                            sys.executable,
+                            os.path.abspath(__file__),
+                            "--kernel-worker",
+                            str(rows),
+                            o,
+                        ]
+                    )
+                    for o in outs
+                ]
+                for p in procs:
+                    assert p.wait() == 0
+                wall = time.perf_counter() - t0
+                total = sum(json.load(open(o))["compares"] for o in outs)
+                best = max(best, total / wall)
+        results[nproc] = best
+    lo, hi = min(levels), max(levels)
+    eff = results[hi] / (results[lo] * (hi / lo))
+    return {
+        "metric": f"kernel merge-compare throughput scaling {lo} -> {hi} procs",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "rows_per_proc": rows,
+        "compares_per_sec": {str(k): round(v, 1) for k, v in results.items()},
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", type=str, default=None, help="e.g. 2,8 or 8,32")
+    ap.add_argument("--kernel-scaling", type=str, default=None, help="e.g. 2,8")
+    ap.add_argument("--kernel-worker", nargs=2, default=None)
+    ap.add_argument("--rows", type=int, default=500_000)
     ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--input", type=str, default=None)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--flagship-only", action="store_true")
     args = ap.parse_args()
+
+    if args.kernel_worker:
+        _kernel_worker_main(int(args.kernel_worker[0]), args.kernel_worker[1])
+        return
+    if args.kernel_scaling:
+        levels = [int(x) for x in args.kernel_scaling.split(",")]
+        print(json.dumps(run_kernel_scaling(levels, args.rows, args.repeat)))
+        return
 
     if args.flagship_only:
         m = run_flagship_once(CPUS, args.pages, args.input)

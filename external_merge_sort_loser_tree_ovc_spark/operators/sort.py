@@ -130,13 +130,17 @@ def external_sort_df(
 
 
 _NUMERIC_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_IDENTITY_KEYS_CACHE: dict[int, list[int]] = {}
 
 
 def _identity_shuffle_keys(spark, n: int) -> list[int]:
     """x_t per target partition t with pmod(murmur3(x_t), n) == t, so
     ``repartition(n, key)`` places bucket t in partition t exactly.
-    One tiny deterministic job; F.hash is the same Murmur3(seed=42) that
-    HashPartitioning uses."""
+    One tiny deterministic job per distinct n (murmur3 is fixed, so the
+    table is process-cacheable); F.hash is the same Murmur3(seed=42)
+    that HashPartitioning uses."""
+    if n in _IDENTITY_KEYS_CACHE:
+        return _IDENTITY_KEYS_CACHE[n]
     rows = (
         spark.range(0, max(64 * n, 1024))
         .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("t"))
@@ -146,7 +150,9 @@ def _identity_shuffle_keys(spark, n: int) -> list[int]:
     )
     lut = {int(r["t"]): int(r["x"]) for r in rows}
     assert len(lut) == n, "murmur3 preimage table incomplete; widen the scan"
-    return [lut[t] for t in range(n)]
+    xs = [lut[t] for t in range(n)]
+    _IDENTITY_KEYS_CACHE[n] = xs
+    return xs
 
 
 def salted_repartition_by_range(
@@ -185,12 +191,28 @@ def salted_repartition_by_range(
         parted = salted.repartitionByRange(n, *[F.col(k) for k in keys], F.col(salt_col))
         return parted.drop(salt_col)
 
-    ck = (F.col(keys[0]).cast("bigint") * salt_buckets + F.col(salt_col)).alias("_ck")
-    staged = salted.withColumn("_ck", ck)
+    ck = F.col(keys[0]).cast("bigint") * salt_buckets + F.col(salt_col)
+    # bounds from a SEEDED sample (deterministic given the deterministic
+    # upstream partitioning): sampling BEFORE the salt projection means
+    # the row hash is only computed for the ~5% sampled rows, not twice
+    # for every row.  ±1-2% bucket-size wobble is irrelevant here.
     probs = [i / n for i in range(1, n)]
-    bounds = staged.stat.approxQuantile("_ck", probs, 1.0 / max(1000, 10 * n))
-    arr = ", ".join(str(int(b)) for b in bounds)
-    pid = F.expr(f"size(filter(array({arr}), b -> b < _ck))")
+    samp = df.sample(fraction=0.05, seed=42).withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+    )
+    bounds = samp.select(ck.alias("_ck")).stat.approxQuantile("_ck", probs, 0.01)
+    if len(bounds) < n - 1:  # degenerate tiny input: bound on full data
+        bounds = (
+            salted.select(ck.alias("_ck")).stat.approxQuantile("_ck", probs, 0.001)
+        )
+    if not bounds:
+        return salted.repartition(n).drop(salt_col)
+    # bucket id via a codegen'd CASE ladder (a lambda over an array
+    # literal would run interpreted per row)
+    pid = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        pid = F.when(ck <= F.lit(int(bounds[i])), F.lit(i)).otherwise(pid)
     xs = _identity_shuffle_keys(df.sparkSession, n)
     # murmur3 is TYPE-sensitive: the preimage table hashed BIGINTs, so
     # the literals must be BIGINT too or the mapping silently scrambles
@@ -198,9 +220,9 @@ def salted_repartition_by_range(
         F.array(*[F.lit(x).cast("bigint") for x in xs]), (pid + 1).cast("int")
     )
     return (
-        staged.withColumn("_pk", part_key)
+        salted.withColumn("_pk", part_key)
         .repartition(n, F.col("_pk"))
-        .drop(salt_col, "_ck", "_pk")
+        .drop(salt_col, "_pk")
     )
 
 
