@@ -20,10 +20,17 @@ from __future__ import annotations
 
 P = 2_147_483_647  # 2^31 - 1, Mersenne prime
 # minhash permutation params (fixed, deterministic)
-MINHASH_A = [1103515245, 1103245, 12345, 1013904223, 22695477, 1664525, 69069, 75]
-MINHASH_B = [12345, 1013904223, 1103515245, 22695477, 69069, 1664525, 75, 1103245]
-N_SIG = 8
-N_BANDS = 4  # bands of 2 signatures each
+MINHASH_A = [
+    1103515245, 1103245, 12345, 1013904223, 22695477, 1664525, 69069, 75,
+    48271, 16807, 69621, 40692, 65539, 1583458089, 784588716, 950706376,
+]
+MINHASH_B = [
+    12345, 1013904223, 1103515245, 22695477, 69069, 1664525, 75, 1103245,
+    16807, 48271, 40692, 69621, 1583458089, 65539, 950706376, 784588716,
+]
+N_SIG = 16
+N_BANDS = 4  # bands of N_SIG // N_BANDS = 4 signatures each
+BAND_R = N_SIG // N_BANDS
 SIMHASH_BITS = 16
 # banded wide simhash (near-dup pairs at hamming <= K): 4 bands x 15
 # bits = 60 bits total.  Pigeonhole: two hashes within hamming K=3 agree
@@ -220,9 +227,18 @@ def quality_score_sql(d: Dialect, text_col: str) -> str:
 
 
 def lsh_band_sql(sig_cols: list[str], band: int) -> str:
-    """Band value packs 2 adjacent signatures: sig[2b]*P + sig[2b+1]."""
-    a, b = sig_cols[2 * band], sig_cols[2 * band + 1]
-    return f"({a} * CAST({P} AS BIGINT) + {b})"
+    """Band value: Horner fold of BAND_R adjacent signatures mod P.
+
+    With r=4 rows per band the candidate curve is
+    P(pair) = 1 - (1 - j^4)^4 — the standard ~0.55-Jaccard knee —
+    instead of the r=2 curve that fires from j~0.3 (too permissive at
+    corpus scale).  Every intermediate stays < P * 1000003 < 2^52, so
+    the identical expression is overflow-safe in Spark and DuckDB; a
+    band-value collision only ever ADDS a candidate pair."""
+    acc = sig_cols[BAND_R * band]
+    for s in sig_cols[BAND_R * band + 1 : BAND_R * (band + 1)]:
+        acc = f"((({acc}) * 1000003 + {s}) % {P})"
+    return f"CAST({acc} AS BIGINT)"
 
 
 # --- NumPy twin (used by kernel-side paths + property tests) ---------------

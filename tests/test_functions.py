@@ -392,3 +392,25 @@ def test_minhash_band_df_cap_bounds_hot_buckets(spark):
     capped = minhash_lsh_pairs(df, "doc_id", band_df_cap=8).count()
     assert uncapped >= 40 * 39 // 2
     assert capped < uncapped
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """r=4 bands are selective, but high-Jaccard near-dups (one word
+    changed in a long doc) must still pair with overwhelming odds."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(500)]
+    texts, planted = [], []
+    for i in range(25):
+        base = list(rng.choice(vocab, 60))
+        a = len(texts); texts.append(" ".join(base))
+        mut = base.copy(); mut[30] = "CHANGED"
+        b = len(texts); texts.append(" ".join(mut))
+        planted.append((a, b))
+    got = minhash_lsh_pairs(_mkdocs(spark, texts), "doc_id").toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    hit = sum(1 for p in planted if p in pairs)
+    assert hit >= 22, f"only {hit}/25 planted near-dups found"
