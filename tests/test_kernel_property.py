@@ -1,0 +1,64 @@
+"""Property-based kernel fuzz: for ANY frame shape / budget / batch
+geometry, the external sort must equal pandas' stable lexicographic
+sort and preserve the witness invariants.
+
+Complements the fixed reference matrix (test_kernel_reference_matrix)
+with adversarial geometries hypothesis finds: budgets barely above the
+batch size, single-row batches, all-duplicate domains, nullable keys,
+mixed dtypes including strings that differ only past the 8-byte prefix
+(the OVC prefix-code exactness boundary).
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from external_merge_sort_loser_tree_ovc_spark.kernel.external_sort import ExternalSorter
+
+
+def _sort(tmpdir, frame, keys, mem, batch):
+    sorter = ExternalSorter(
+        key_cols=keys, spill_dir=tmpdir, memory_budget_rows=mem, batch_rows=batch
+    )
+    chunks = [frame.iloc[i : i + batch] for i in range(0, len(frame), batch)]
+    out = list(sorter.sort(iter(chunks)))
+    return (
+        pd.concat(out, ignore_index=True) if out else frame.iloc[0:0]
+    ), sorter.metrics
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(0, 400),
+    domain=st.integers(1, 12),
+    mem=st.integers(8, 128),
+    batch=st.integers(1, 64),
+    seed=st.integers(0, 2**31 - 1),
+    with_null=st.booleans(),
+)
+def test_sort_matches_pandas_any_geometry(tmp_path_factory, n, domain, mem, batch, seed, with_null):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, domain, n)
+    frame = pd.DataFrame(
+        {
+            "k": pd.array(
+                [None if with_null and (v % 5 == 0) else int(v) for v in k],
+                dtype="Int64",
+            ),
+            # strings sharing an 8-byte prefix: exercises the prefix-code
+            # exactness fallback
+            "s": [f"prefix00{v % 3}{'x' * int(v % 4)}" for v in k],
+            "payload": np.arange(n),
+        }
+    )
+    keys = ["k", "s"]
+    out, m = _sort(
+        str(tmp_path_factory.mktemp("hyp")), frame, keys, mem, batch
+    )
+    exp = frame.sort_values(keys, na_position="first", kind="stable", ignore_index=True)
+    assert len(out) == n and m.rows_in == n and m.rows_out in (0, n)
+    if n:
+        assert out["k"].equals(exp["k"])
+        assert out["s"].tolist() == exp["s"].tolist()
+        # content preservation (multiset equality incl payload)
+        assert sorted(out["payload"]) == list(range(n))
