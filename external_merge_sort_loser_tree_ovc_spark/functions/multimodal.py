@@ -1,15 +1,21 @@
-"""Multimodal (binary) column plumbing: decode / feature / resize stubs.
+"""Multimodal (binary) column plumbing: decode / feature / resize.
 
 Images, audio, and video ride as opaque ``binary`` columns with typed
-metadata.  The decode libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode step is a clearly-marked deterministic fake —
-but everything Spark-side is real and tested: schema, Arrow batch shape,
-``mapInPandas`` signature, partitioning.  Swap ``_fake_decode`` for a
-real decoder and nothing else changes.
+metadata.
 
-``media_metadata`` is arithmetic on the payload bytes only, so it HAS a
-DuckDB oracle (octet_length math); ``decode_image_batch`` raises
-NotImplementedError unless ``allow_fake=True``.
+REAL decode path: PPM (P6) images — a complete container format that
+needs no external libraries, so the full pipeline (synthesize payload
+bytes -> parse header -> reinterpret the pixel buffer -> per-channel
+statistics) runs for real and is ORACLE-GATED: the synthetic images are
+x-gradients whose channel means have a closed form in the image id, so
+DuckDB predicts what a correct decode must produce without ever seeing
+the bytes (``q_multimodal_decode``).
+
+Stub paths: JPEG/PNG/video decode libraries (PIL/ffmpeg) are NOT in
+this container, so those steps remain clearly-marked deterministic
+fakes behind ``allow_fake=True`` — the Spark-side plumbing (schema,
+Arrow batch shape, ``mapInPandas`` signature, partitioning) is real and
+tested, and ``media_metadata`` has a bytes-arithmetic DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -115,6 +121,119 @@ def decode_media(
             yield out
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+# --- REAL decode path: PPM (P6) ---------------------------------------------
+#
+# Synthetic image law (shared with the SQL oracle): image for id has
+#   width  w = 4 + id % 13          (<= 16)
+#   height h = 3 + id % 7           (<= 9)
+#   pixel(x, y, c) = base_c + x,  base_c = (id*3 + c*7) % 200
+# base_c + x <= 199 + 15 < 256: no wrap, so channel mean is EXACTLY
+# base_c + (w-1)/2, i.e. 2*mean = 2*base_c + (w-1) — integer closed form.
+
+_PPM_BASE_MOD = 200
+
+
+def synth_ppm(ids: np.ndarray) -> list[bytes]:
+    """Deterministic P6 payloads (binary, real header + pixel buffer).
+    Container encoding is inherently per-payload; the loop is over
+    payloads in an Arrow batch, not over pixels (those are NumPy)."""
+    out = []
+    for i in ids:
+        i = int(i)
+        w, h = 4 + i % 13, 3 + i % 7
+        bases = np.array([(i * 3 + c * 7) % _PPM_BASE_MOD for c in range(3)])
+        img = (
+            bases[None, None, :] + np.arange(w)[None, :, None]
+        ) * np.ones((h, 1, 1), dtype=np.int64)
+        out.append(b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes())
+    return out
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a P6 PPM: header 'P6 <w> <h> <maxval>' + raw RGB bytes.
+    Returns (w, h, pixels[h, w, 3] uint8)."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if m is None:
+        raise ValueError("not a P6 PPM payload")
+    w, h = int(m.group(1)), int(m.group(2))
+    data = payload[m.end() : m.end() + w * h * 3]
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+PPM_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean2_r", LongType()),
+        StructField("mean2_g", LongType()),
+        StructField("mean2_b", LongType()),
+    ]
+)
+
+
+def decode_ppm_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL decode: parse every P6 payload, compute integer-exact
+    2*channel-mean from the decoded pixel buffer.  mapInPandas, Arrow
+    batches; no allow_fake gate — this decoder actually runs."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = []
+            for i, payload in zip(ids, pdf[bin_col]):
+                w, h, px = decode_ppm(bytes(payload))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                m2 = 2 * sums // (w * h)  # exact for the gradient law
+                rows.append((int(i), w, h, int(m2[0]), int(m2[1]), int(m2[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean2_r", "mean2_g", "mean2_b"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=PPM_DECODE_SCHEMA)
+
+
+def with_synth_ppm(df: DataFrame, id_col: str, out_col: str = "ppm") -> DataFrame:
+    """Attach the deterministic P6 payload for each id (binary col)."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField(out_col, BinaryType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({"media_id": ids, out_col: synth_ppm(ids)})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def ppm_decode_oracle_sql(table: str, id_col: str) -> str:
+    """Closed-form prediction of the decode output straight from the id
+    — the oracle never parses bytes, so a header/stride/layout bug in
+    the real decoder cannot cancel out."""
+    w = f"(4 + {id_col} % 13)"
+    h = f"(3 + {id_col} % 7)"
+    means = ", ".join(
+        f"CAST(2 * (({id_col} * 3 + {c * 7}) % {_PPM_BASE_MOD}) + {w} - 1 AS BIGINT)"
+        f" AS mean2_{ch}"
+        for c, ch in enumerate("rgb")
+    )
+    return f"""
+SELECT {id_col} AS media_id, CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height, {means}
+FROM {table}
+"""
 
 
 def frame_sample(

@@ -37,7 +37,13 @@ from .functions.dedup import (
     simhash_hamming_oracle_sql,
     simhash_hamming_pairs,
 )
-from .functions.multimodal import media_metadata, media_metadata_oracle_sql
+from .functions.multimodal import (
+    decode_ppm_media,
+    media_metadata,
+    media_metadata_oracle_sql,
+    ppm_decode_oracle_sql,
+    with_synth_ppm,
+)
 from .functions.similarity import (
     ann_lsh_bucketed,
     ann_topk,
@@ -174,6 +180,40 @@ def q_cell_counts(spark, sf_dir):
     return geo.groupBy("cell").agg(F.count(F.lit(1)).alias("n_pages"))
 
 
+def q_cell_rollup(spark, sf_dir):
+    """Hierarchical cell rollup (hypertable-style): page counts at
+    quadtree resolutions 3/5/7 with ROLLUP subtotals — one aggregation
+    pass produces every level of the pyramid (partial aggregation makes
+    the shuffle carry one row per distinct leaf cell, not per page).
+    Parent cells shift both grid axes down (cells.parent_cell)."""
+    geo = with_grid(_docs_geo(spark, sf_dir), "lat", "lon", CELL_RES)
+    lvl = geo.select(
+        (
+            F.shiftleft(F.shiftright(F.col("yg"), 4), 3) + F.shiftright(F.col("xg"), 4)
+        ).alias("cell3"),
+        (
+            F.shiftleft(F.shiftright(F.col("yg"), 2), 5) + F.shiftright(F.col("xg"), 2)
+        ).alias("cell5"),
+        F.col("cell").alias("cell7"),
+    )
+    return lvl.rollup("cell3", "cell5", "cell7").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+
+
+def _oracle_cell_rollup() -> str:
+    xg, yg = cells.sql_grid_expr("lat", "lon", CELL_RES)
+    return f"""
+WITH {_pts_cte()},
+g AS (SELECT {xg} AS xg, {yg} AS yg FROM pts)
+SELECT ((yg >> 4) * 8 + (xg >> 4)) AS cell3,
+       ((yg >> 2) * 32 + (xg >> 2)) AS cell5,
+       (yg * 128 + xg) AS cell7,
+       COUNT(*) AS n_pages
+FROM g GROUP BY ROLLUP (cell3, cell5, cell7)
+"""
+
+
 def q_pip_join(spark, sf_dir):
     """Point-in-polygon join: broadcast cell cover + exact ray cast."""
     return pip_join(
@@ -253,6 +293,18 @@ def q_ann_lsh(spark, sf_dir):
     mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
     qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
     return ann_lsh_bucketed(emb, qids, ANN_K)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode, oracle-gated: synthesize a P6 PPM payload per
+    doc (binary container: header + raw pixel buffer), parse it with
+    the pure-NumPy decoder, compute integer-exact 2x channel means from
+    the DECODED pixels.  The oracle predicts the same numbers in closed
+    form from doc_id without touching bytes — a decoder bug (header
+    parse, channel stride, buffer layout) cannot match it."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = with_synth_ppm(docs, "doc_id")
+    return decode_ppm_media(payloads, "ppm", "media_id")
 
 
 _HTML_PRE = (
@@ -585,6 +637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # spatial suite
     "q_cell_assign": q_cell_assign,
     "q_cell_counts": q_cell_counts,
+    "q_cell_rollup": q_cell_rollup,
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
     "q_raster_tiles": q_raster_tiles,
@@ -599,6 +652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_neardup": q_ann_neardup,
     "q_ann_lsh": q_ann_lsh,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_decode": q_multimodal_decode,
     "q_text_extract": q_text_extract,
     # relational built-ins
     "q_tpch_q1": q_tpch_q1,
@@ -627,6 +681,7 @@ ORACLES: dict[str, str] = {
     ),
     "q_cell_assign": _oracle_cell_assign(),
     "q_cell_counts": _oracle_cell_counts(),
+    "q_cell_rollup": _oracle_cell_rollup(),
     "q_pip_join": _oracle_pip_join(),
     "q_knn": _oracle_knn(),
     "q_raster_tiles": _oracle_raster_tiles(),
@@ -640,6 +695,7 @@ ORACLES: dict[str, str] = {
     "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),
+    "q_multimodal_decode": ppm_decode_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_tpch_q1": _oracle_tpch_q1(),
     "q_revenue_by_nation": _oracle_revenue_by_nation(),

@@ -414,3 +414,24 @@ def test_minhash_finds_planted_near_dups(spark):
     pairs = set(zip(got.id_a, got.id_b))
     hit = sum(1 for p in planted if p in pairs)
     assert hit >= 22, f"only {hit}/25 planted near-dups found"
+
+
+def test_ppm_decode_roundtrip_and_errors(spark):
+    from external_merge_sort_loser_tree_ovc_spark.functions.multimodal import (
+        decode_ppm,
+        synth_ppm,
+    )
+
+    ids = np.array([0, 1, 12, 99, 1234])
+    for i, payload in zip(ids, synth_ppm(ids)):
+        w, h, px = decode_ppm(payload)
+        assert (w, h) == (4 + i % 13, 3 + i % 7)
+        assert px.shape == (h, w, 3)
+        # gradient law: pixel(x,y,c) == base_c + x
+        for c in range(3):
+            base = (int(i) * 3 + c * 7) % 200
+            assert (px[:, :, c] == base + np.arange(w)[None, :]).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_ppm(b"JFIF not a ppm")
