@@ -346,6 +346,239 @@ SELECT id_a, id_b, dist2 FROM d WHERE dist2 <= {dist2_max}
 """
 
 
+# --- IVF: deterministic integer k-means + probe-and-rerank --------------------
+
+def kmeans_quantized(
+    vectors: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means over QUANTIZED int64 vectors, fully deterministic:
+
+    - init: per-cluster integer means of the sign-projection buckets
+      (log2 k planes — spread-out, data-dependent, no RNG),
+    - assignment: exact int64 squared-L2 argmin (ties -> lowest id),
+    - update: integer mean sum // count.  All arithmetic is
+      order-independent, so the result is bit-identical run to run —
+      floats would drift with partial-aggregation order.
+
+    Distributed shape: one mapInPandas pass per iteration emits per-
+    partition (cluster, count, dim-sums); only k * n_partitions tiny
+    rows reach the driver (the classic partial-aggregate reduce).
+    Returns (k, d) int64 centroids.
+    """
+    spark = vectors.sparkSession
+    n_planes = max(1, (k - 1).bit_length())
+
+    from pyspark.sql.types import ArrayType
+
+    sums_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+
+    def partials(assign_fn):
+        def run(it):
+            acc: dict[int, tuple[int, np.ndarray]] = {}
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+                cl = assign_fn(mat)
+                for c in np.unique(cl):
+                    sel = mat[cl == c]
+                    cnt, s = acc.get(int(c), (0, np.zeros(mat.shape[1], np.int64)))
+                    acc[int(c)] = (cnt + len(sel), s + sel.sum(axis=0))
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "cluster": list(acc.keys()),
+                        "cnt": [v[0] for v in acc.values()],
+                        "sums": [v[1] for v in acc.values()],
+                    }
+                )
+
+        return run
+
+    def reduce_centroids(rows, prev: np.ndarray) -> np.ndarray:
+        cent = prev.copy()
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in rows:
+            c = int(r["cluster"])
+            cnt, s = agg.get(c, (0, np.zeros(len(r["sums"]), np.int64)))
+            agg[c] = (cnt + int(r["cnt"]), s + np.asarray(r["sums"], np.int64))
+        for c, (cnt, s) in agg.items():
+            if cnt > 0:
+                cent[c] = s // cnt
+        return cent
+
+    src = vectors.select(id_col, vec_col)
+
+    # init: sign-projection bucket means (buckets beyond k fold via mod)
+    def bucket_assign(mat):
+        planes = _plane_signs(mat.shape[1], n_planes)
+        bits = (mat @ planes.T > 0).astype(np.int64)
+        b = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
+        return b % k
+
+    dim = len(src.select(vec_col).first()[0])
+    cent = np.zeros((k, dim), dtype=np.int64)
+    rows = src.mapInPandas(partials(bucket_assign), schema=sums_schema).collect()
+    cent = reduce_centroids(rows, cent)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def lloyd_assign(mat, _bc=bc):
+            c = _bc.value
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2 * (mat @ c.T)
+            )
+            return d2.argmin(axis=1)
+
+        rows = src.mapInPandas(partials(lloyd_assign), schema=sums_schema).collect()
+        cent = reduce_centroids(rows, cent)
+    return cent
+
+
+def ann_ivf(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: deterministic integer k-means coarse
+    quantizer, queries probe their ``n_probe`` nearest centroids, exact
+    int64 rerank inside the probed cells.
+
+    The scale shape: the big side is assigned once (narrow pass), the
+    candidate join is an equi-join on cluster id, and only probed-cell
+    rows are reranked.  Recall < 1 by design -> rows-only gate; recall
+    is asserted against ``ann_topk`` in pytest.  Returns
+    (query_id, neighbor_id, dist2, rank).
+    """
+    spark = vectors.sparkSession
+    cent = kmeans_quantized(
+        vectors, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    bc = spark.sparkContext.broadcast(cent)
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    assign_schema = StructType(
+        [
+            StructField("vid", LongType()),
+            StructField("cluster", LongType()),
+            StructField("e", ArrayType(FloatType())),
+        ]
+    )
+
+    def assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            c = bc.value
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2 * (mat @ c.T)
+            )
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": d2.argmin(axis=1),
+                    "e": pdf[vec_col],
+                }
+            )
+
+    assigned = vectors.select(id_col, vec_col).mapInPandas(assign, schema=assign_schema)
+
+    probe_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cluster", LongType()),
+            StructField("qe", ArrayType(FloatType())),
+        ]
+    )
+
+    def probe(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            c = bc.value
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2 * (mat @ c.T)
+            )
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rep = np.repeat(np.arange(len(ids)), n_probe)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[rep],
+                    "cluster": order.ravel(),
+                    "qe": pdf[vec_col].iloc[rep].to_numpy(),
+                }
+            )
+
+    qs = vectors.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        id_col, vec_col
+    )
+    probes = qs.mapInPandas(probe, schema=probe_schema)
+    cand = probes.join(assigned, "cluster").filter(F.col("query_id") != F.col("vid"))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("dist2", LongType()),
+        ]
+    )
+
+    def rerank(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qm = _quantize_np(np.stack(pdf["qe"].to_numpy()))
+            pm = _quantize_np(np.stack(pdf["e"].to_numpy()))
+            d2 = ((qm - pm) * (qm - pm)).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vid"].to_numpy(dtype=np.int64),
+                    "dist2": d2,
+                }
+            )
+
+    # each vector lives in exactly one cluster and a query's probed
+    # clusters are distinct, so (query, neighbor) pairs are already
+    # unique — no distinct() needed
+    ranked = cand.select("query_id", "qe", "vid", "e").mapInPandas(
+        rerank, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --- approximate scale path ---------------------------------------------------
 
 def _plane_signs(dim: int, n_planes: int) -> np.ndarray:

@@ -45,6 +45,7 @@ from .functions.multimodal import (
     with_synth_ppm,
 )
 from .functions.similarity import (
+    ann_ivf,
     ann_lsh_bucketed,
     ann_topk,
     ann_topk_oracle_sql,
@@ -335,6 +336,16 @@ def _oracle_text_extract() -> str:
         f"SELECT doc_id, {extract_text_sql(_DUCK, wrap)} AS extracted "
         "FROM documents"
     )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate ANN (deterministic integer k-means coarse
+    quantizer + probe-and-rerank).  Approximate by design -> rows-only
+    check; recall vs ann_topk asserted in pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
+    return ann_ivf(emb, qids, ANN_K, n_clusters=16, n_probe=4)
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -651,6 +662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": q_ann_topk,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
     "q_text_extract": q_text_extract,

@@ -435,3 +435,31 @@ def test_ppm_decode_roundtrip_and_errors(spark):
 
     with _pt.raises(ValueError):
         decode_ppm(b"JFIF not a ppm")
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_ivf,
+        ann_topk,
+    )
+
+    qids = [0, 7, 21, 42, 63]
+    exact = ann_topk(emb, qids, k=5).toPandas()
+    a1 = ann_ivf(emb, qids, k=5, n_clusters=8, n_probe=3).toPandas()
+    a2 = ann_ivf(emb, qids, k=5, n_clusters=8, n_probe=3).toPandas()
+    key = lambda d: sorted(zip(d.query_id, d.neighbor_id, d.dist2))  # noqa: E731
+    assert key(a1) == key(a2), "IVF must be bit-deterministic (integer k-means)"
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(a1.query_id, a1.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_kmeans_quantized_deterministic(spark, emb):
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        kmeans_quantized,
+    )
+
+    c1 = kmeans_quantized(emb, k=8, iters=3)
+    c2 = kmeans_quantized(emb.repartition(7), k=8, iters=3)
+    assert (c1 == c2).all(), "centroids must not depend on partitioning"
