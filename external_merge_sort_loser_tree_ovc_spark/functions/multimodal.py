@@ -236,6 +236,204 @@ FROM {table}
 """
 
 
+# --- REAL decode path: WAV (RIFF PCM16 mono) ----------------------------------
+#
+# Synthetic audio law (shared with the SQL oracle): clip for id has
+#   n_samples = 16 * (4 + id % 12)        (multiple of 16)
+#   sample[t] = base + (t % 16),  base = (id * 11) % 1000
+# mean over a whole number of 16-cycles is EXACTLY base + 7.5, so
+# 2*mean = 2*base + 15; peak = base + 15.
+
+_WAV_RATE = 8000
+
+
+def synth_wav(ids: np.ndarray) -> list[bytes]:
+    """Deterministic RIFF/WAVE PCM16 mono payloads (real headers)."""
+    import struct
+
+    out = []
+    for i in ids:
+        i = int(i)
+        n = 16 * (4 + i % 12)
+        base = (i * 11) % 1000
+        samples = (base + (np.arange(n) % 16)).astype("<i2")
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+        riff = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        out.append(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse RIFF chunks: returns (sample_rate, n_channels, samples)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, samples
+
+
+WAV_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("mean2", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def decode_wav_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL audio decode: RIFF chunk walk + PCM16 buffer reinterpret,
+    integer-exact 2x mean and peak from the DECODED samples."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, payload in zip(
+                pdf[id_col].to_numpy(dtype=np.int64), pdf[bin_col]
+            ):
+                rate, _ch, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        rate,
+                        len(s),
+                        int(2 * s64.sum() // len(s)),
+                        int(s64.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "mean2", "peak"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=WAV_DECODE_SCHEMA)
+
+
+def with_synth_wav(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField(out_col, BinaryType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({"media_id": ids, out_col: synth_wav(ids)})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def wav_decode_oracle_sql(table: str, id_col: str) -> str:
+    n = f"(16 * (4 + {id_col} % 12))"
+    base = f"(({id_col} * 11) % 1000)"
+    return f"""
+SELECT {id_col} AS media_id, CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST({n} AS BIGINT) AS n_samples,
+       CAST(2 * {base} + 15 AS BIGINT) AS mean2,
+       CAST({base} + 15 AS BIGINT) AS peak
+FROM {table}
+"""
+
+
+# --- REAL transform: PPM stride-2 downsample ----------------------------------
+
+def resize_ppm_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL transform on binary media: decode -> stride-2 downsample ->
+    integer-exact per-channel SUM of the RESIZED pixels.  The kept
+    columns are x = 0, 2, ... (values base_c + 2x'), so the sums keep a
+    closed form the oracle emits from the id alone — a wrong stride or
+    axis order cannot match it."""
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, payload in zip(
+                pdf[id_col].to_numpy(dtype=np.int64), pdf[bin_col]
+            ):
+                w, h, px = decode_ppm(bytes(payload))
+                small = px[::2, ::2, :]
+                sums = small.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(i),
+                        small.shape[1],
+                        small.shape[0],
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+def resize_ppm_oracle_sql(table: str, id_col: str) -> str:
+    """Closed form for the stride-2 downsample of the gradient law:
+    kept columns x = 0,2,4,... -> values base_c + 2*x' for x' in
+    [0, wk); per-channel sum = hk * (wk*base_c + 2 * wk*(wk-1)/2)."""
+    w = f"(4 + {id_col} % 13)"
+    h = f"(3 + {id_col} % 7)"
+    wk = f"(({w} + 1) // 2)"
+    hk = f"(({h} + 1) // 2)"
+    sums = ", ".join(
+        f"CAST({hk} * ({wk} * (({id_col} * 3 + {c * 7}) % {_PPM_BASE_MOD})"
+        f" + {wk} * ({wk} - 1)) AS BIGINT) AS sum_{ch}"
+        for c, ch in enumerate("rgb")
+    )
+    return f"""
+SELECT {id_col} AS media_id,
+       CAST({wk} AS INT) AS out_width, CAST({hk} AS INT) AS out_height,
+       {sums}
+FROM {table}
+"""
+
+
 def frame_sample(
     df: DataFrame, bin_col: str, id_col: str, *, every_n: int = 10, allow_fake: bool = False
 ) -> DataFrame:

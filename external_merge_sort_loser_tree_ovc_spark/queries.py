@@ -39,10 +39,15 @@ from .functions.dedup import (
 )
 from .functions.multimodal import (
     decode_ppm_media,
+    decode_wav_media,
     media_metadata,
     media_metadata_oracle_sql,
     ppm_decode_oracle_sql,
+    resize_ppm_media,
+    resize_ppm_oracle_sql,
+    wav_decode_oracle_sql,
     with_synth_ppm,
+    with_synth_wav,
 )
 from .functions.similarity import (
     ann_ivf,
@@ -306,6 +311,21 @@ def q_multimodal_decode(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     payloads = with_synth_ppm(docs, "doc_id")
     return decode_ppm_media(payloads, "ppm", "media_id")
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode, oracle-gated: RIFF/WAVE PCM16 payload per doc,
+    chunk-walk parser, integer-exact stats from decoded samples vs a
+    closed-form oracle (see q_multimodal_decode for the scheme)."""
+    docs = _read(spark, sf_dir, "documents")
+    return decode_wav_media(with_synth_wav(docs, "doc_id"), "wav", "media_id")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image transform: decode PPM -> stride-2 downsample ->
+    integer-exact channel sums of the resized pixels vs closed form."""
+    docs = _read(spark, sf_dir, "documents")
+    return resize_ppm_media(with_synth_ppm(docs, "doc_id"), "ppm", "media_id")
 
 
 _HTML_PRE = (
@@ -665,6 +685,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf": q_ann_ivf,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_audio": q_multimodal_audio,
+    "q_multimodal_resize": q_multimodal_resize,
     "q_text_extract": q_text_extract,
     # relational built-ins
     "q_tpch_q1": q_tpch_q1,
@@ -708,6 +730,8 @@ ORACLES: dict[str, str] = {
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),
     "q_multimodal_decode": ppm_decode_oracle_sql("documents", "doc_id"),
+    "q_multimodal_audio": wav_decode_oracle_sql("documents", "doc_id"),
+    "q_multimodal_resize": resize_ppm_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_tpch_q1": _oracle_tpch_q1(),
     "q_revenue_by_nation": _oracle_revenue_by_nation(),

@@ -463,3 +463,23 @@ def test_kmeans_quantized_deterministic(spark, emb):
     c1 = kmeans_quantized(emb, k=8, iters=3)
     c2 = kmeans_quantized(emb.repartition(7), k=8, iters=3)
     assert (c1 == c2).all(), "centroids must not depend on partitioning"
+
+
+def test_wav_decode_roundtrip_and_errors():
+    from external_merge_sort_loser_tree_ovc_spark.functions.multimodal import (
+        decode_wav,
+        synth_wav,
+    )
+
+    ids = np.array([0, 5, 991])
+    for i, payload in zip(ids, synth_wav(ids)):
+        rate, ch, s = decode_wav(payload)
+        assert (rate, ch) == (8000, 1)
+        n = 16 * (4 + int(i) % 12)
+        base = (int(i) * 11) % 1000
+        assert len(s) == n
+        assert (s == base + np.arange(n) % 16).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_wav(b"OggS definitely not riff")
