@@ -82,3 +82,40 @@ def test_text_byte_identical_per_url(spark):
     diff2 = enc.join(out, ["url", "text", "html"], "left_anti").count()
     assert diff1 == 0 and diff2 == 0
     assert out.count() == 20000
+
+
+def test_neardup_lsh_plan_shape(spark):
+    """The 100 TB contracts for the LSH near-dup path: candidates come
+    from a bucket EQUI-join (never a cartesian/nested-loop product),
+    and plan construction launches no Spark job (no driver collect)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_pairs,
+    )
+
+    plan = plan_of(neardup_pairs(emb, 10**6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_banded_plan_shape(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    plan = plan_of(simhash_hamming_pairs(docs, "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_extract_stays_codegen(spark):
+    """html->text extraction must be narrow built-in exprs: no shuffle,
+    no Python evals."""
+    pages = synth_pages(spark, 1000)
+    from external_merge_sort_loser_tree_ovc_spark.functions.textops import extract_text
+
+    plan = plan_of(extract_text(pages, "html"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
