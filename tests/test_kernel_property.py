@@ -27,7 +27,12 @@ def _sort(tmpdir, frame, keys, mem, batch):
     ), sorter.metrics
 
 
-@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,  # stable example set: CI/driver runs must not flake
+    suppress_health_check=[HealthCheck.too_slow],
+)
 @given(
     n=st.integers(0, 400),
     domain=st.integers(1, 12),
