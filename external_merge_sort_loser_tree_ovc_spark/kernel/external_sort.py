@@ -165,6 +165,11 @@ class ExternalSorter:
     resume_trust: bool = False
     metrics: SortMetrics = field(default_factory=SortMetrics)
     _fingerprint: int = 0
+    # write-through cache: when checkpoint_inputs spills the tail, the
+    # just-written run is served from memory instead of read back from
+    # disk (the file still exists for resume — only this process skips
+    # the redundant decode)
+    _run_cache: tuple | None = None
 
     # -- public: pandas adapter (mapInPandas / tests) ---------------------------
     def sort(self, batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,7 +230,8 @@ class ExternalSorter:
                 self._invalidate(candidate[0])
                 store = staging
                 if self.checkpoint_inputs and tail is not None and tail.num_rows:
-                    store.write_run(tail)
+                    info = store.write_run(tail)
+                    self._run_cache = (info, tail)  # write-through: no read-back
                     tail = None
                 store.commit("runs_formed", self._commit_extra(tail))
         else:
@@ -235,12 +241,18 @@ class ExternalSorter:
                 self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
                 return
             if self.checkpoint_inputs and tail is not None and tail.num_rows:
-                store.write_run(tail)
+                info = store.write_run(tail)
+                self._run_cache = (info, tail)  # write-through: no read-back
                 tail = None
             store.commit("runs_formed", self._commit_extra(tail))
 
         yield from self._merge_all(store, tail)
         self.metrics.wall_ms = (time.perf_counter() - t0) * 1e3
+
+    def _read_run(self, store: RunStore, r):
+        if self._run_cache is not None and self._run_cache[0] is r:
+            return self._run_cache[1]
+        return store.read_run(r)
 
     def _commit_extra(self, tail) -> dict:
         return {
@@ -329,7 +341,7 @@ class ExternalSorter:
             take = m.initial_fan_in if first_step else min(b, len(store.runs))
             first_step = False
             batch = store.runs[:take]
-            tables = [store.read_run(r) for r in batch]
+            tables = [self._read_run(store, r) for r in batch]
             gen = 1 + max(r.generation for r in batch)
             max_gen = max(max_gen, gen)
             merged = _merge_tables(tables, self.key_cols)
@@ -347,7 +359,7 @@ class ExternalSorter:
         m.passes = 1 + max_gen + (1 if w > 1 else 0)
         m.spill_rows = store.spill_rows
 
-        final_tables = [store.read_run(r) for r in store.runs]
+        final_tables = [self._read_run(store, r) for r in store.runs]
         if tail_tbl is not None:
             final_tables.append(tail_tbl)
         if self.mode == "exact" and self._all_int(final_tables):

@@ -3,8 +3,8 @@
 Same contract as keys.py but sourced straight from Arrow buffers, so the
 kernel never materializes pandas object arrays for strings.  The string
 prefix code is built by vectorized gather over the (offsets, data)
-buffers; the row fingerprint folds normalized codes, lengths, and a
-position-weighted byte sum — all NumPy array ops.
+buffers; the row fingerprint folds normalized codes, lengths, and (for
+resume-grade fingerprints) a per-element full-content siphash.
 """
 
 from __future__ import annotations
@@ -68,89 +68,21 @@ def _string_lens(arr) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
-_WORD_W = np.array(
-    [1, 31, 131, 257, 8191, 524287, 2147483647, 3, 7, 127, 911, 5381, 40503,
-     69061, 99991, 15485863],
-    dtype=np.uint64,
-)
+def _full_content_hash(col) -> np.ndarray:
+    """Per-row full-content hash of a string/binary column.
 
-# padded-matrix path caps: beyond this, one giant row would blow up the
-# (n, Lmax) buffer — fall back to the flat-gather path
-_PAD_MAX_LEN = 4096
-_PAD_MAX_CELLS = 1 << 26
+    pandas' vectorized siphash (``hash_pandas_object``, fixed default
+    key -> deterministic across processes): one C pass per element with
+    tiny temporaries.  The numpy alternatives (padded word-fold /
+    flat weighted byte walk) allocate O(bytes) index matrices per call
+    and collapse ~50x when 32 executor workers contend for this box's
+    memory bandwidth — measured 2.9 s vs 22 ms per 15k rows at 32-way
+    concurrency.  Value depends only on the element -> batching- and
+    chunking-invariant."""
+    import pandas as pd
 
-
-def _weighted_byte_sum_chunk(chunk: pa.Array) -> np.ndarray:
-    """Per-row position-weighted content sum (full content, vectorized).
-
-    Content-sensitive beyond the 8-byte prefix, position-sensitive
-    (catches transpositions), batching-invariant (weights depend only on
-    the position WITHIN the row); used only for fingerprints.
-
-    Fast path: pad each row to an 8-byte multiple in an (n, Lpad) uint8
-    matrix (one masked gather — the same pattern as the prefix code),
-    reinterpret as big-endian u64 words, fold words * W[word_pos mod 16]
-    mod 2^64.  8x less index arithmetic than a per-byte walk, which is
-    what dominates on allocation-bound boxes.  Degenerate layouts (a row
-    longer than 4 KiB) take the flat per-byte walk instead.
-    """
-    n = len(chunk)
-    if n == 0:
-        return np.zeros(0, dtype=np.uint64)
-    starts, lens, data = _string_buffers(chunk)
-    if int(lens.sum()) == 0:
-        return np.zeros(n, dtype=np.uint64)
-    out = np.zeros(n, dtype=np.uint64)
-    # which path a row takes depends ONLY on that row's length, so the
-    # per-row value is invariant to how rows are batched together
-    small = lens <= _PAD_MAX_LEN
-    if small.any():
-        s_idx = np.flatnonzero(small)
-        s_starts, s_lens = starts[s_idx], lens[s_idx]
-        out[s_idx] = _padded_word_fold(s_starts, s_lens, data)
-    if not small.all():
-        l_idx = np.flatnonzero(~small)
-        out[l_idx] = _flat_byte_fold(starts[l_idx], lens[l_idx], data)
-    return out
-
-
-def _padded_word_fold(starts, lens, data) -> np.ndarray:
-    """Rows padded to 8-byte multiples in an (block, Lpad) matrix, read
-    as big-endian u64 words, folded as words * W[word_pos mod 16]."""
-    m = len(starts)
-    lmax = max(8, (int(lens.max()) + 7) & ~7)
-    block = max(1, _PAD_MAX_CELLS // lmax)
-    out = np.empty(m, dtype=np.uint64)
-    j = np.arange(lmax, dtype=np.int64)[None, :]
-    w = _WORD_W[np.arange(lmax // 8) & 15]
-    for i0 in range(0, m, block):
-        sl = slice(i0, min(i0 + block, m))
-        st, ln = starts[sl], lens[sl]
-        buf = np.zeros((len(st), lmax), dtype=np.uint8)
-        mask = j < ln[:, None]
-        idx = st[:, None] + j
-        buf[mask] = data[idx[mask]]
-        words = buf.view(">u8")
-        out[sl] = (words.astype(np.uint64) * w[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-    return out
-
-
-def _flat_byte_fold(starts, lens, data) -> np.ndarray:
-    """Per-byte weighted walk for very long rows (> _PAD_MAX_LEN).
-    A different fold than the padded path — consistent because a row's
-    path is determined by its own length alone."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(len(lens), dtype=np.uint64)
-    row_start = np.cumsum(lens) - lens
-    pos = np.arange(total, dtype=np.int64) - np.repeat(row_start, lens)
-    idx = np.repeat(starts, lens) + pos
-    contrib = data[idx].astype(np.uint64) * _WORD_W[pos & 15]
-    csum = np.concatenate([[np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)])
-    ends = np.cumsum(lens)
-    return (csum[ends] - csum[ends - lens]).astype(np.uint64)
+    s = col.to_pandas() if not isinstance(col, pd.Series) else col
+    return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
 
 
 def string_prefix_u64(arr) -> np.ndarray:
@@ -280,11 +212,7 @@ def _fp_column(col, *, full: bool, depth: int = 0) -> list[np.ndarray]:
         if _is_stringish(t):
             parts.append(_string_lens(col).astype(np.uint64))
             if full:
-                parts.append(
-                    np.concatenate([_weighted_byte_sum_chunk(c) for c in _chunks(col)])
-                    if n
-                    else np.zeros(0, np.uint64)
-                )
+                parts.append(_full_content_hash(col))
         return parts
     if pa.types.is_null(t):
         return [np.zeros(n, dtype=np.uint64)]
