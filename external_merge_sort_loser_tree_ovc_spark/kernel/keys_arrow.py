@@ -206,9 +206,16 @@ def _fp_column(col, *, full: bool, depth: int = 0) -> list[np.ndarray]:
     n = len(col)  # works for both Array and ChunkedArray
     if _is_scalar_key_type(t):
         nk = normalize_arrow_column(col)
-        parts = [nk.codes]
-        if nk.isnull is not None:
-            parts.append(nk.isnull.astype(np.uint64))
+        # the null-flag component is mixed UNCONDITIONALLY (zeros when
+        # the chunk has no nulls): a conditional component makes the
+        # same row hash differently depending on whether its batch-mates
+        # happen to include a null -> batching invariance breaks
+        isnull = (
+            nk.isnull.astype(np.uint64)
+            if nk.isnull is not None
+            else np.zeros(n, dtype=np.uint64)
+        )
+        parts = [nk.codes, isnull]
         if _is_stringish(t):
             parts.append(_string_lens(col).astype(np.uint64))
             if full:
@@ -237,16 +244,22 @@ def _fp_column(col, *, full: bool, depth: int = 0) -> list[np.ndarray]:
         for extra in vparts[1:]:
             vcodes = vcodes ^ (extra * _GOLD)
         parts = [_segment_weighted_sum(vcodes, lens), lens.astype(np.uint64)]
-        if col.null_count:
-            parts.append(np.asarray(pc.is_null(col)).astype(np.uint64))
+        parts.append(
+            np.asarray(pc.is_null(col)).astype(np.uint64)
+            if col.null_count
+            else np.zeros(n, dtype=np.uint64)
+        )
         return parts
     if depth < 3 and pa.types.is_struct(t):
         parts = []
         combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         for i in range(t.num_fields):
             parts.extend(_fp_column(combined.field(i), full=full, depth=depth + 1))
-        if col.null_count:
-            parts.append(np.asarray(pc.is_null(col)).astype(np.uint64))
+        parts.append(
+            np.asarray(pc.is_null(col)).astype(np.uint64)
+            if col.null_count
+            else np.zeros(n, dtype=np.uint64)
+        )
         return parts
     # last resort (map/union/deep nesting): validity + a type constant —
     # weaker (content-insensitive) but never blocks sorting a table that

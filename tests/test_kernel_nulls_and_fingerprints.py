@@ -166,3 +166,22 @@ def test_checkpoint_resume_invalidates_on_deep_content_change(tmp_path):
     )
     assert not s3.metrics.resumed
     assert set(out3["s"]) == set(df3["s"])
+
+
+def test_fingerprint_batching_invariance_with_nulls():
+    """The null-flag component must mix unconditionally: a row's hash
+    cannot depend on whether its batch-mates happen to include a null
+    (that broke xor-fold invariance and falsely invalidated resumes)."""
+    for full in (False, True):
+        t = pa.table(
+            {"x": pa.array(["a", None, "b"]), "k": pa.array([1, 2, None])}
+        )
+        whole = row_fingerprint_table(t, full=full)
+        split = row_fingerprint_table(t.slice(0, 1), full=full) ^ row_fingerprint_table(
+            t.slice(1), full=full
+        )
+        assert whole == split
+        t2 = pa.table(
+            {"x": pa.array(["a", None, "c"]), "k": pa.array([1, 2, None])}
+        )
+        assert row_fingerprint_table(t2, full=full) != whole
