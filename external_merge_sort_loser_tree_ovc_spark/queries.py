@@ -428,6 +428,44 @@ def q_window_topk(spark, sf_dir):
     )
 
 
+def q_window_funcs(spark, sf_dir):
+    """Window-function breadth: rank / dense_rank / ntile / lag / lead
+    over one window — all integer-valued outputs (hash-stable)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
+            F.lead("o_orderkey", 1).over(w).alias("next_ok"),
+        )
+    )
+
+
+def q_outer_join(spark, sf_dir):
+    """Full outer join: every customer x order-count, keeping
+    order-less customers AND (synthetic) customer-less orders; null
+    keys coalesced to -1 for hash stability."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    counts = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(counts, cust.c_custkey == counts.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("cust"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.expr(_cents("c_acctbal")), F.lit(0)).alias("acctbal_c"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-bucketed agg over the events stream table."""
     ev = _read(spark, sf_dir, "events")
@@ -692,6 +730,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q1": q_tpch_q1,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_window_topk": q_window_topk,
+    "q_window_funcs": q_window_funcs,
+    "q_outer_join": q_outer_join,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_rollup_revenue": q_rollup_revenue,
@@ -736,6 +776,25 @@ ORACLES: dict[str, str] = {
     "q_tpch_q1": _oracle_tpch_q1(),
     "q_revenue_by_nation": _oracle_revenue_by_nation(),
     "q_window_topk": _oracle_window_topk(),
+    "q_window_funcs": """
+SELECT o_custkey, o_orderkey,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       LAG(o_orderkey, 1) OVER w AS prev_ok,
+       LEAD(o_orderkey, 1) OVER w AS next_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    "q_outer_join": f"""
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, -1) AS cust,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE({_cents('c_acctbal')}, 0) AS acctbal_c
+FROM customer FULL OUTER JOIN counts ON c_custkey = o_custkey
+""",
     "q_events_hourly": _oracle_events_hourly(),
     "q_events_sessions": _oracle_events_sessions(),
     "q_rollup_revenue": f"""
