@@ -81,8 +81,11 @@ def warmup(spark, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
     spark.range(1_000_000).select(F.sum("id")).collect()
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    li.groupBy("l_returnflag").agg(F.count(F.lit(1))).collect()
+    if os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        # warm the parquet reader + shuffle; optional so --flagship-only
+        # --input works on hosts without the TPCH testdata
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1))).collect()
 
     def _ident(it):
         for b in it:

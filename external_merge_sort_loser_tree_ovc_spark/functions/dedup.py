@@ -6,9 +6,9 @@ formula (texthash.py):
 - exact:        group-by text hash, keep min id (one shuffle on a
                 64-ish-bit key; at 100 TB use xxhash64(text) as the
                 group key so the shuffle carries 8 bytes, not the text);
-- minhash+LSH:  J=8 minhash signatures over 3-word shingles -> 4 bands
-                of 2 -> candidate pairs via self-equi-join on
-                (band, band_value);
+- minhash+LSH:  J=16 minhash signatures over 3-word shingles -> 4
+                bands of 4 (Horner-fold band values) -> candidate pairs
+                via self-equi-join on (band, band_value);
 - simhash:      wide banded simhash (4 bands x 15 bits) -> per-band
                 equi-join candidates with exact pigeonhole coverage of
                 hamming <= 3, bit_count verify (the 16-bit equality
@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import texthash as T
 from .textops import minhash_oracle_select, minhash_sigs, _DUCK
+
+
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose key combination is shared by more than ``cap``
+    rows: broadcast anti-join against the over-cap key set (the
+    boilerplate hot-bucket guard shared by every pair-generation op)."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 # --- exact ------------------------------------------------------------------
@@ -94,13 +107,7 @@ def minhash_lsh_pairs(
         F.expr(f"stack({T.N_BANDS}, {stack}) AS (band, bv)"),
     ).select(id_col, "band", "bv")
     if band_df_cap is not None:
-        hot = (
-            bands.groupBy("band", "bv")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > band_df_cap)
-            .select("band", "bv")
-        )
-        bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
+        bands = _drop_hot_keys(bands, ["band", "bv"], band_df_cap)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bv")
     b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bv")
     return (
@@ -165,8 +172,12 @@ def simhash_band_table(df: DataFrame, id_col: str, text_col: str = "text") -> Da
 
     Explode-agg shape (one word-hash evaluation per word, one aggregate
     with all 60 bit-vote sums) — the per-row array formulation would let
-    Catalyst re-inline the word pipeline into every bit term."""
-    words = df.select(
+    Catalyst re-inline the word pipeline into every bit term.
+
+    NULL-text docs are excluded (no content -> no near-dup candidate);
+    the oracle generator applies the same predicate, keeping engine and
+    oracle aligned on nullable corpora."""
+    words = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
     ).withColumn("_h", F.expr(T.whash_sql("_w")))
     nbits = T.SIMHASH_BANDS * T.SIMHASH_BAND_BITS
@@ -212,13 +223,7 @@ def simhash_hamming_pairs(
         F.col(id_col), F.expr(f"stack({T.SIMHASH_BANDS}, {stack}) AS (band, bv)")
     ).select(id_col, "band", "bv")
     if band_df_cap is not None:
-        hot = (
-            bands.groupBy("band", "bv")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > band_df_cap)
-            .select("band", "bv")
-        )
-        bands = bands.join(F.broadcast(hot), ["band", "bv"], "left_anti")
+        bands = _drop_hot_keys(bands, ["band", "bv"], band_df_cap)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bv")
     b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bv")
     cand = (
@@ -282,7 +287,8 @@ bands_ok AS (
         f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(T.SIMHASH_BANDS)
     )
     return f"""
-WITH wh AS (SELECT {id_col}, {T.whash_arr(d, text_col)} AS _wh FROM {table}),
+WITH wh AS (SELECT {id_col}, {T.whash_arr(d, text_col)} AS _wh FROM {table}
+            WHERE {text_col} IS NOT NULL),
 sh AS (SELECT {id_col}, {band_sel} FROM wh),
 bands AS ({band_rows}){cap_cte},
 cand AS (
@@ -340,13 +346,7 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if df_cap is not None:
-        hot = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > df_cap)
-            .select("g")
-        )
-        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+        grams = _drop_hot_keys(grams, ["g"], df_cap)
     counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")

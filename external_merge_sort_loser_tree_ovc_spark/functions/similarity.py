@@ -348,6 +348,15 @@ SELECT id_a, id_b, dist2 FROM d WHERE dist2 <= {dist2_max}
 
 # --- IVF: deterministic integer k-means + probe-and-rerank --------------------
 
+def _dist2_to_centroids(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) exact int64 squared-L2 distances to centroids."""
+    return (
+        (mat * mat).sum(axis=1)[:, None]
+        + (cent * cent).sum(axis=1)[None, :]
+        - 2 * (mat @ cent.T)
+    )
+
+
 def kmeans_quantized(
     vectors: DataFrame,
     *,
@@ -427,7 +436,10 @@ def kmeans_quantized(
         b = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
         return b % k
 
-    dim = len(src.select(vec_col).first()[0])
+    first = src.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_quantized: empty vectors DataFrame")
+    dim = len(first[0])
     cent = np.zeros((k, dim), dtype=np.int64)
     rows = src.mapInPandas(partials(bucket_assign), schema=sums_schema).collect()
     cent = reduce_centroids(rows, cent)
@@ -436,16 +448,11 @@ def kmeans_quantized(
         bc = spark.sparkContext.broadcast(cent)
 
         def lloyd_assign(mat, _bc=bc):
-            c = _bc.value
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                + (c * c).sum(axis=1)[None, :]
-                - 2 * (mat @ c.T)
-            )
-            return d2.argmin(axis=1)
+            return _dist2_to_centroids(mat, _bc.value).argmin(axis=1)
 
         rows = src.mapInPandas(partials(lloyd_assign), schema=sums_schema).collect()
         cent = reduce_centroids(rows, cent)
+        bc.unpersist()  # one broadcast per iteration; don't leak them
     return cent
 
 
@@ -491,12 +498,7 @@ def ann_ivf(
             if pdf.empty:
                 continue
             mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
-            c = bc.value
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                + (c * c).sum(axis=1)[None, :]
-                - 2 * (mat @ c.T)
-            )
+            d2 = _dist2_to_centroids(mat, bc.value)
             yield pd.DataFrame(
                 {
                     "vid": pdf[id_col].to_numpy(dtype=np.int64),
@@ -520,15 +522,11 @@ def ann_ivf(
             if pdf.empty:
                 continue
             mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
-            c = bc.value
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                + (c * c).sum(axis=1)[None, :]
-                - 2 * (mat @ c.T)
-            )
-            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            d2 = _dist2_to_centroids(mat, bc.value)
+            probe_k = min(n_probe, d2.shape[1])  # n_probe > n_clusters clamp
+            order = np.argsort(d2, axis=1, kind="stable")[:, :probe_k]
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            rep = np.repeat(np.arange(len(ids)), n_probe)
+            rep = np.repeat(np.arange(len(ids)), probe_k)
             yield pd.DataFrame(
                 {
                     "query_id": ids[rep],

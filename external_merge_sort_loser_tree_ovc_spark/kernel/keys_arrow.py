@@ -264,12 +264,17 @@ def _fp_column(col, *, full: bool, depth: int = 0) -> list[np.ndarray]:
     # last resort (map/union/deep nesting): validity + a type constant —
     # weaker (content-insensitive) but never blocks sorting a table that
     # carries an exotic non-key column
+    import zlib
+
     isnull = (
         np.asarray(pc.is_null(col)).astype(np.uint64)
         if col.null_count
         else np.zeros(n, dtype=np.uint64)
     )
-    tconst = np.uint64(hash(str(t)) & 0xFFFFFFFF)
+    # crc32, NOT hash(): Python's str hash is PYTHONHASHSEED-randomized,
+    # which would make fingerprints differ across processes and
+    # permanently defeat checkpoint resume for such schemas
+    tconst = np.uint64(zlib.crc32(str(t).encode()) & 0xFFFFFFFF)
     return [isnull + tconst]
 
 

@@ -162,6 +162,7 @@ def salted_repartition_by_range(
     salt_buckets: int = 8,
     num_partitions: int | None = None,
     salt_col: str = "_salt",
+    sample_mod: int = 16,
 ) -> DataFrame:
     """Range partition on (key, salt) so hot keys split across
     partitions while global key order stays contiguous.
@@ -192,27 +193,61 @@ def salted_repartition_by_range(
         return parted.drop(salt_col)
 
     ck = F.col(keys[0]).cast("bigint") * salt_buckets + F.col(salt_col)
-    # bounds from a SEEDED sample (deterministic given the deterministic
-    # upstream partitioning): sampling BEFORE the salt projection means
-    # the row hash is only computed for the ~5% sampled rows, not twice
-    # for every row.  ±1-2% bucket-size wobble is irrelevant here.
-    probs = [i / n for i in range(1, n)]
-    samp = df.sample(fraction=0.05, seed=42).withColumn(
+    # bounds from a CONTENT-hash sample + exact driver-side quantiles:
+    # - content-based filter (xxhash64 of the key mod m) selects the
+    #   same rows regardless of partition layout or RDD ids — unlike
+    #   df.sample(seed), whose per-partition RNG makes two differently-
+    #   partitioned runs sample different rows;
+    # - exact quantiles of the collected sample avoid approxQuantile's
+    #   sketch-merge order (cluster task-completion order is not
+    #   stable), which could shift a bound between reruns and silently
+    #   defeat fingerprint-verified checkpoint replay.
+    # The sample is capped (~hash-rate 1/16) and only the sampled rows
+    # pay the salt hash.
+    import numpy as np
+
+    samp = df.filter(
+        F.pmod(F.xxhash64(F.col(keys[0]), F.lit(1337)), F.lit(sample_mod)) == 0
+    ).withColumn(
         salt_col,
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
-    bounds = samp.select(ck.alias("_ck")).stat.approxQuantile("_ck", probs, 0.01)
-    if len(bounds) < n - 1:  # degenerate tiny input: bound on full data
-        bounds = (
-            salted.select(ck.alias("_ck")).stat.approxQuantile("_ck", probs, 0.001)
+    # the limit() caps driver memory at any input size; whenever the
+    # hash sample fits under it (size the sample_mod for ~<=256k sampled
+    # rows) the collected set — and therefore the bounds — is exactly
+    # reproducible.  If the cap ever truncates, bounds may differ
+    # between runs and the kernel's fingerprint-verified resume safely
+    # recomputes instead of replaying.
+    vals = np.array(
+        [
+            r[0]
+            for r in samp.select(ck.alias("_ck")).limit(1 << 18).collect()
+            if r[0] is not None
+        ],
+        dtype=np.int64,
+    )
+    if len(vals) < 4 * n:  # degenerate tiny input: use the full data
+        vals = np.array(
+            [
+                r[0]
+                for r in salted.select(ck.alias("_ck")).limit(1 << 18).collect()
+                if r[0] is not None
+            ],
+            dtype=np.int64,
         )
-    if not bounds:
+    if len(vals) == 0:
         return salted.repartition(n).drop(salt_col)
+    bounds = [
+        int(b) for b in np.quantile(vals, [i / n for i in range(1, n)], method="lower")
+    ]
     # bucket id via a codegen'd CASE ladder (a lambda over an array
-    # literal would run interpreted per row)
+    # literal would run interpreted per row).  NULL keys route to
+    # bucket 0: the kernel sorts nulls FIRST, so nulls-first global
+    # order holds across partition ids (repartitionByRange semantics).
     pid = F.lit(len(bounds))
     for i in range(len(bounds) - 1, -1, -1):
         pid = F.when(ck <= F.lit(int(bounds[i])), F.lit(i)).otherwise(pid)
+    pid = F.when(F.col(keys[0]).isNull(), F.lit(0)).otherwise(pid)
     xs = _identity_shuffle_keys(df.sparkSession, n)
     # murmur3 is TYPE-sensitive: the preimage table hashed BIGINTs, so
     # the literals must be BIGINT too or the mapping silently scrambles

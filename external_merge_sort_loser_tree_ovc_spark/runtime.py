@@ -16,6 +16,21 @@ from __future__ import annotations
 import os
 
 _SHM = "/dev/shm"
+# tmpfs is only a sane spill target when it actually has room: small
+# /dev/shm mounts (Docker defaults to 64 MB) would ENOSPC mid-sort, and
+# spilling to RAM on a RAM-starved host defeats the point of an
+# out-of-core sort.  Below this free-space floor, fall back to disk.
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+
+def _shm_usable() -> bool:
+    if not (os.path.isdir(_SHM) and os.access(_SHM, os.W_OK)):
+        return False
+    try:
+        st = os.statvfs(_SHM)
+        return st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES
+    except OSError:
+        return False
 
 
 def default_spill_root() -> str | None:
@@ -23,7 +38,7 @@ def default_spill_root() -> str | None:
     env = os.environ.get("SPARK_GRAFT_SPILL_ROOT")
     if env:
         return env
-    if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
+    if _shm_usable():
         return _SHM
     return None
 
@@ -33,7 +48,7 @@ def default_local_dir() -> str:
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
-    if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
+    if _shm_usable():
         path = os.path.join(_SHM, "emsort-spark-local")
         os.makedirs(path, exist_ok=True)
         return path

@@ -125,3 +125,46 @@ def test_job_level_resume(spark, lineitem, tmp_path):
     lin2 = read_lineage(spark, ckpt).toPandas()
     assert n1 == n2 == lineitem.count()
     assert lin2.resumed.all(), f"expected all partitions resumed: {lin2.resumed.tolist()}"
+
+
+def test_salted_repartition_nulls_first_partition(spark):
+    """NULL keys must land in partition 0 (the kernel sorts nulls FIRST
+    within a partition, so nulls-first global order holds across
+    partition ids — repartitionByRange semantics)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [None, 5, None, 100, 7, None, 950, 12, 600, 300] * 40,
+                        "v": range(400)})
+    df = spark.createDataFrame(pdf.astype({"k": "Int64"}))
+    parted = salted_repartition_by_range(df, ["k"], salt_buckets=4, num_partitions=4)
+    dist = (
+        parted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("k").isNull())
+        .select("pid")
+        .distinct()
+        .collect()
+    )
+    assert {r["pid"] for r in dist} == {0}
+    # global nulls-first sortedness through the kernel: zero inversions
+    # inside every partition, and partition key-ranges non-overlapping
+    # in partition-id order with all nulls in partition 0
+    from external_merge_sort_loser_tree_ovc_spark.operators.sort import external_sort_df
+    from external_merge_sort_loser_tree_ovc_spark.operators.witness import (
+        sortedness_report,
+    )
+
+    out = external_sort_df(parted, ["k"], skip_shuffle=True)
+    rep = sortedness_report(out, ["k"])
+    assert int(rep.inversions.sum()) == 0
+    ranges = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"),
+             F.sum(F.col("k").isNull().cast("int")).alias("nulls"))
+        .orderBy("pid")
+        .collect()
+    )
+    assert all(r["nulls"] == 0 for r in ranges if r["pid"] != 0)
+    nonempty = [r for r in ranges if r["lo"] is not None]
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert a["hi"] <= b["lo"] + 0  # ranges ordered by partition id
