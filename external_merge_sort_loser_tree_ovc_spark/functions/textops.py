@@ -31,6 +31,10 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     word.  Formulas are identical to the *_sql oracle generators."""
     others = [c for c in df.columns if c != text_col]
     stop_list = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    # NULL-text docs are excluded explicitly (posexplode would silently
+    # drop them anyway, diverging from a SQL oracle that keeps the row
+    # with NULL features); the oracle applies the same predicate
+    df = df.filter(F.col(text_col).isNotNull())
     words = df.select(
         *others,
         F.length(F.col(text_col)).alias("_chars"),
@@ -87,6 +91,7 @@ SELECT {id_col},
        {T.fingerprint_sql(d, wh)} AS fingerprint,
        CAST({T.simhash_sql(d, wh)} AS BIGINT) AS simhash16
 FROM {table}
+WHERE {text_col} IS NOT NULL
 """
 
 

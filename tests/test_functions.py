@@ -483,3 +483,37 @@ def test_wav_decode_roundtrip_and_errors():
 
     with _pt.raises(ValueError):
         decode_wav(b"OggS definitely not riff")
+
+
+def test_null_text_parity_engine_vs_oracle(spark):
+    """Nullable corpora: engine and oracle must agree on which docs
+    participate (NULL text excluded on BOTH sides) for text features
+    and banded simhash."""
+    import duckdb as _duck_mod
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        simhash_hamming_oracle_sql,
+        simhash_hamming_pairs,
+    )
+    from external_merge_sort_loser_tree_ovc_spark.functions.textops import (
+        text_features_oracle_sql,
+        with_text_features,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["same words here", None, "same words here",
+                     "other words entirely", None, "third doc words"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    con = _duck_mod.connect()
+    con.register("documents", pdf)
+    feats = with_text_features(df.select("doc_id", "text")).toPandas()
+    ofeats = con.sql(text_features_oracle_sql("documents", "doc_id")).df()
+    assert sorted(feats.doc_id) == sorted(ofeats.doc_id) == [0, 2, 3, 5]
+    got = simhash_hamming_pairs(df, "doc_id").toPandas()
+    exp = con.sql(simhash_hamming_oracle_sql("documents", "doc_id")).df()
+    assert sorted(zip(got.id_a, got.id_b)) == sorted(zip(exp.id_a, exp.id_b))
+    assert (0, 2) in set(zip(got.id_a, got.id_b))  # identical docs pair
