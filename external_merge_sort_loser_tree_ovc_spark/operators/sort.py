@@ -206,8 +206,16 @@ def salted_repartition_by_range(
     # pay the salt hash.
     import numpy as np
 
+    # the sample hash must be ROW-granular (all columns), not key-
+    # granular: a hot key shared by 50% of rows is all-or-nothing under
+    # a key hash, so the sample would miss it entirely and the bounds
+    # could never split it across partitions
     samp = df.filter(
-        F.pmod(F.xxhash64(F.col(keys[0]), F.lit(1337)), F.lit(sample_mod)) == 0
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.lit(1337)),
+            F.lit(sample_mod),
+        )
+        == 0
     ).withColumn(
         salt_col,
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
