@@ -118,18 +118,38 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_oracle_sql(table: str, id_col: str, text_col: str = "text") -> str:
+def minhash_lsh_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    band_df_cap: int | None = None,
+) -> str:
+    """Oracle for ``minhash_lsh_pairs`` — mirrors the hot-bucket cutoff
+    (``band_df_cap``) with the identical definition, so the gate runs
+    the same capped configuration that a 100 TB job would."""
     sig_sel = minhash_oracle_select(table, id_col, text_col)
     sig_cols = [f"s{j}" for j in range(T.N_SIG)]
     band_rows = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band, {T.lsh_band_sql(sig_cols, b)} AS bv FROM sigs"
         for b in range(T.N_BANDS)
     )
+    cap_cte = ""
+    bands_src = "bands"
+    if band_df_cap is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT band, bv FROM bands GROUP BY band, bv HAVING COUNT(*) > {band_df_cap}
+),
+bands_ok AS (
+  SELECT b.* FROM bands b ANTI JOIN capped c USING (band, bv)
+)"""
+        bands_src = "bands_ok"
     return f"""
 WITH sigs AS ({sig_sel}),
-bands AS ({band_rows})
+bands AS ({band_rows}){cap_cte}
 SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+FROM {bands_src} a JOIN {bands_src} b ON a.band = b.band AND a.bv = b.bv
 WHERE a.{id_col} < b.{id_col}
 """
 

@@ -85,7 +85,10 @@ def _sort_table(tbl: pa.Table, key_cols: list[str]) -> pa.Table:
     """
     if tbl.num_rows == 0:
         return tbl
-    mat, exact = key_matrix_table(tbl, key_cols)
+    # string_ranks: string keys become exact per-buffer dense ranks, so
+    # even string-keyed buffers sort on the integer matrix (no
+    # whole-column string comparison sort)
+    mat, exact = key_matrix_table(tbl, key_cols, string_ranks=True)
     if exact:
         order = K.lexsort_indices(mat)
         if _is_trivial(order):
@@ -101,8 +104,17 @@ def _is_trivial(order: np.ndarray) -> bool:
     return bool(len(order) == 0 or (order == np.arange(len(order))).all())
 
 
-def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
-    """Vectorized merge of sorted Arrow tables into one sorted table."""
+def _merge_tables(
+    tables: list[pa.Table], key_cols: list[str], counters: dict | None = None
+) -> pa.Table:
+    """Vectorized merge of sorted Arrow tables into one sorted table.
+
+    ``counters``: optional {"ovc", "col"} dict accumulated with the
+    packed-path comparison counts (``vmerge.merge2_compare_counts``) —
+    instrumentation from the PRODUCTION merge, not a shadow sort.  The
+    matrix/collation fallbacks perform no countable head-to-head events
+    (one stable lexsort) and leave the counters untouched.
+    """
     if len(tables) == 1:
         return tables[0]
     big = pa.concat_tables(tables, promote_options="default")
@@ -110,14 +122,19 @@ def _merge_tables(tables: list[pa.Table], key_cols: list[str]) -> pa.Table:
     # per-run matrices are not mutually comparable when nulls are
     # unevenly distributed (the null-flag column exists only for runs
     # that contain nulls -> misaligned widths); one shared matrix makes
-    # width AND packing parameters consistent by construction
-    mat, exact = key_matrix_table(big, key_cols)
+    # width AND packing parameters consistent by construction.
+    # string_ranks: string key columns get exact dense ranks over the
+    # concatenation (shared dictionary -> mutually comparable), so even
+    # string-keyed merges run the counted integer merge instead of a
+    # full collation re-sort
+    mat, exact = key_matrix_table(big, key_cols, string_ranks=True)
     if exact:
         bounds = np.cumsum([0] + [t.num_rows for t in tables])
         mats = [mat[bounds[i] : bounds[i + 1]] for i in range(len(tables))]
         packed = K.pack_columns_shared(mats)
         if packed is not None:
-            idx = vmerge.merge_runs_packed(packed)  # O(n log k), single-int compares
+            # O(n log k), single-int compares
+            idx = vmerge.merge_runs_packed(packed, counters)
         else:
             idx = vmerge.merge_runs_matrix(mats)
         return big.take(pa.array(idx))
@@ -165,6 +182,9 @@ class ExternalSorter:
     resume_trust: bool = False
     metrics: SortMetrics = field(default_factory=SortMetrics)
     _fingerprint: int = 0
+    # production-path comparison counters ({"ovc", "col"}), accumulated
+    # by every packed vectorized merge (vmerge.merge2_compare_counts)
+    _cmp: dict = field(default_factory=dict)
     # write-through cache: when checkpoint_inputs spills the tail, the
     # just-written run is served from memory instead of read back from
     # disk (the file still exists for resume — only this process skips
@@ -344,7 +364,7 @@ class ExternalSorter:
             tables = [self._read_run(store, r) for r in batch]
             gen = 1 + max(r.generation for r in batch)
             max_gen = max(max_gen, gen)
-            merged = _merge_tables(tables, self.key_cols)
+            merged = _merge_tables(tables, self.key_cols, self._cmp)
             store.remove_runs(batch)
             store.write_run(merged, generation=gen)
             store.commit(
@@ -364,11 +384,23 @@ class ExternalSorter:
             final_tables.append(tail_tbl)
         if self.mode == "exact" and self._all_int(final_tables):
             yield from self._final_exact(final_tables)
+        elif self.mode == "exact" and self._exact_supported(final_tables):
+            yield from self._final_exact_coded(final_tables)
         else:
-            out = _merge_tables(final_tables, self.key_cols) if final_tables else None
+            out = (
+                _merge_tables(final_tables, self.key_cols, self._cmp)
+                if final_tables
+                else None
+            )
             if out is not None:
                 m.rows_out += out.num_rows
                 yield from self._emit_table(out)
+        if self.mode != "exact":
+            # fast mode: instrumentation comes from the one production
+            # merge path (packed merge-path counts); exact mode keeps the
+            # loser tree's reference-faithful counters set in _final_exact*
+            m.ovc_compares = self._cmp.get("ovc", 0)
+            m.col_compares = self._cmp.get("col", 0)
         store.commit(
             "done",
             {
@@ -385,6 +417,17 @@ class ExternalSorter:
             pa.types.is_integer(f.type)
             for t in tables
             for f in t.schema
+        )
+
+    def _exact_supported(self, tables: list[pa.Table]) -> bool:
+        """Exact (counted loser-tree) mode handles any schema whose
+        columns are scalar key types — ints natively, floats/timestamps/
+        bools via order-preserving u64 codes, strings via a global dense
+        rank over the final tables (all in memory at final-merge time)."""
+        from .keys_arrow import _is_scalar_key_type
+
+        return bool(tables) and all(
+            _is_scalar_key_type(f.type) for t in tables for f in t.schema
         )
 
     def _final_exact(self, tables: list[pa.Table]):
@@ -423,6 +466,74 @@ class ExternalSorter:
                 out_buf = []
         if out_buf:
             t = flush(out_buf)
+            self.metrics.rows_out += t.num_rows
+            yield t
+        self.metrics.ovc_compares = tree.ovc_compares
+        self.metrics.col_compares = tree.col_compares
+
+    def _final_exact_coded(self, tables: list[pa.Table]):
+        """Counted loser-tree final merge for schemas with non-integer
+        columns (strings/floats/timestamps) — the round-2 gap where
+        exact mode silently fell back for any string key.
+
+        The whole row is the key (reference semantics): every column is
+        mapped to an order-preserving int64 code — numerics/timestamps
+        through the same u64 normalization the fast path uses, strings
+        through a global dense rank over the final tables (legal here:
+        all final runs are materialized for the merge anyway).  A global
+        row-index column is appended as the last key column: it breaks
+        full-row ties deterministically AND doubles as the gather index
+        mapping merged code-rows back to the original Arrow rows.
+        """
+        from .keys_arrow import _is_stringish, normalize_arrow_column
+
+        big = pa.concat_tables(tables, promote_options="default")
+        n = big.num_rows
+        if n == 0:
+            return
+        cols: list[np.ndarray] = []
+        for name in big.schema.names:
+            col = big.column(name)
+            if _is_stringish(col.type):
+                comb = col.combine_chunks()
+                arr = comb.chunk(0) if isinstance(comb, pa.ChunkedArray) else comb
+                denc = pc.dictionary_encode(arr)
+                dct = denc.dictionary
+                order = pc.sort_indices(dct).to_numpy(zero_copy_only=False)
+                rank = np.empty(len(dct), dtype=np.int64)
+                rank[order] = np.arange(len(dct), dtype=np.int64)
+                idx = pc.fill_null(denc.indices, 0).to_numpy(zero_copy_only=False)
+                codes = rank[idx.astype(np.int64)]
+                if arr.null_count:
+                    isnull = np.asarray(pc.is_null(arr))
+                    codes = np.where(isnull, np.int64(-1), codes)  # nulls first
+                cols.append(codes)
+            else:
+                nk = normalize_arrow_column(col)
+                # u64 -> order-preserving int64 (shift by 2^63)
+                codes = (nk.codes ^ np.uint64(1 << 63)).view(np.int64)
+                if nk.isnull is not None:
+                    cols.append((~nk.isnull).astype(np.int64))  # null flag first
+                    codes = np.where(nk.isnull, np.int64(np.iinfo(np.int64).min), codes)
+                cols.append(codes)
+        cols.append(np.arange(n, dtype=np.int64))  # gather index / final tiebreak
+        mat = np.column_stack(cols)
+        bounds = np.cumsum([0] + [t.num_rows for t in tables])
+        runs = [mat[bounds[i] : bounds[i + 1]] for i in range(len(tables))]
+        tree = LoserTreeMerge(runs)
+        buf: list[int] = []
+        while True:
+            row = tree.pop()
+            if row is None:
+                break
+            buf.append(int(row[-1]))
+            if len(buf) >= self.batch_rows:
+                t = big.take(pa.array(np.asarray(buf, dtype=np.int64)))
+                self.metrics.rows_out += t.num_rows
+                yield t
+                buf = []
+        if buf:
+            t = big.take(pa.array(np.asarray(buf, dtype=np.int64)))
             self.metrics.rows_out += t.num_rows
             yield t
         self.metrics.ovc_compares = tree.ovc_compares

@@ -136,12 +136,63 @@ def normalize_arrow_column(arr) -> NormalizedKey:
     raise TypeError(f"unsupported key type {t}")
 
 
-def key_matrix_table(tbl: pa.Table, key_cols: list[str]) -> tuple[np.ndarray, bool]:
-    """(n, k') uint64 matrix + exactness, straight from Arrow buffers."""
+def _string_rank_codes(col) -> NormalizedKey:
+    """EXACT order-preserving codes for a string/binary column: dense
+    rank of each value's dictionary entry.  Unlike the 8-byte prefix,
+    rank order == full byte-collation order with no false ties — so a
+    matrix built from ranks is exact and can take the packed
+    single-integer merge path (counters included).
+
+    Ranks are only valid WITHIN the array they were computed from; the
+    sort paths use them on a per-buffer / per-merge basis (the merge
+    normalizes once over the concatenation of the runs, so codes are
+    shared and mutually comparable by construction).
+
+    Cost: one O(n) dictionary encode + an O(u log u) sort of the u
+    DISTINCT values — for low-cardinality keys (flags, enums, country
+    codes) this replaces an O(n log n) whole-column string sort with an
+    integer merge; for unique-heavy keys it is bounded by the same
+    string sort the fallback would do anyway.
+    """
+    comb = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(comb, pa.ChunkedArray):
+        arr = comb.chunk(0) if comb.num_chunks else pa.array([], type=comb.type)
+    else:
+        arr = comb
+    if len(arr) == 0:
+        return NormalizedKey(np.zeros(0, dtype=np.uint64), True, 64, None)
+    denc = pc.dictionary_encode(arr)
+    dct = denc.dictionary
+    order = pc.sort_indices(dct).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(dct), dtype=np.uint64)
+    rank[order] = np.arange(len(dct), dtype=np.uint64)
+    idx = pc.fill_null(denc.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = rank[idx]
+    isnull = np.asarray(pc.is_null(arr)) if arr.null_count else None
+    if isnull is not None:
+        codes = np.where(isnull, np.uint64(0), codes)
+    return NormalizedKey(codes, True, 64, isnull)
+
+
+def key_matrix_table(
+    tbl: pa.Table, key_cols: list[str], *, string_ranks: bool = False
+) -> tuple[np.ndarray, bool]:
+    """(n, k') uint64 matrix + exactness, straight from Arrow buffers.
+
+    ``string_ranks=True`` encodes string/binary key columns as exact
+    dense ranks (``_string_rank_codes``) instead of 8-byte prefixes —
+    the matrix is then exact for any scalar schema, at the cost of a
+    per-call dictionary sort.  Rank codes are only comparable within
+    ONE call's table, so callers must normalize over the concatenation
+    of everything they intend to compare (the merge path does)."""
     cols = []
     exact = True
     for c in key_cols:
-        nk = normalize_arrow_column(tbl.column(c))
+        col = tbl.column(c)
+        if string_ranks and _is_stringish(col.type):
+            nk = _string_rank_codes(col)
+        else:
+            nk = normalize_arrow_column(col)
         if nk.isnull is not None:
             cols.append((~nk.isnull).astype(np.uint64))
             codes = np.where(nk.isnull, np.uint64(0), nk.codes)
@@ -224,7 +275,10 @@ def _fp_column(col, *, full: bool, depth: int = 0) -> list[np.ndarray]:
     if pa.types.is_null(t):
         return [np.zeros(n, dtype=np.uint64)]
     if pa.types.is_decimal(t):
-        return _fp_column(pc.cast(col, pa.float64()), full=full, depth=depth)
+        # hash decimals from their exact string form, NOT a float64 cast:
+        # two inputs differing only past 53-bit mantissa precision would
+        # otherwise fingerprint identically, weakening the resume guard
+        return _fp_column(pc.cast(col, pa.string()), full=full, depth=depth)
     if pa.types.is_dictionary(t):
         return _fp_column(pc.cast(col, t.value_type), full=full, depth=depth)
     if depth < 3 and (

@@ -33,13 +33,52 @@ def merge2_positions(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.nda
     return pos_a, pos_b
 
 
-def merge_runs_packed(run_keys: list[np.ndarray]) -> np.ndarray:
+def merge2_compare_counts(
+    ka: np.ndarray, kb: np.ndarray, pos_a: np.ndarray, pos_b: np.ndarray
+) -> tuple[int, int]:
+    """(ovc, col) comparison counts of the sequential 2-way merge whose
+    output the merge path computed — counted vectorized, from the one
+    production merge (no shadow sort; cf. reference ``Sort.cpp:90-100``
+    which prints its counters from the single production sort).
+
+    Model: the classic streaming merge compares the two run heads once
+    per emitted element while BOTH runs are non-empty; elements emitted
+    after one run exhausts are free copies.  The merge path gives each
+    element's opponent in closed form — when A[i] is emitted, B's head
+    is B[pos_a[i] - i]; when B[j] is emitted, A's head is A[pos_b[j] - j]
+    (an out-of-range opponent == the other run was already exhausted).
+
+    A comparison whose packed codes DIFFER resolves with one machine-
+    integer compare — the OVC promise (reference ``README.md:4-5``) —
+    and counts as ``ovc``.  Equal packed codes mean the code alone could
+    not order the pair (a full-key tie for exact packings): the
+    reference falls through to comparing the remaining key columns
+    (``TreeOfLosers.cpp:217-241``); those events count as ``col``.
+    Equal-code events can only arise on the A side — B is emitted only
+    when strictly smaller (ties go to A).
+    """
+    oa = pos_a - np.arange(len(ka), dtype=np.int64)
+    va = oa < len(kb)
+    col = int((ka[va] == kb[oa[va]]).sum())
+    ob = pos_b - np.arange(len(kb), dtype=np.int64)
+    total = int(va.sum()) + int((ob < len(ka)).sum())
+    return total - col, col
+
+
+def merge_runs_packed(
+    run_keys: list[np.ndarray], counters: dict | None = None
+) -> np.ndarray:
     """Merge k sorted packed-uint64 runs; returns gather indices into the
     virtual concatenation of the runs (in list order).
 
     Binary tournament, smallest pair first.  Comparisons per element are
     O(log k) like a tree of losers, but executed as whole-array
     searchsorted passes instead of per-row matches.
+
+    ``counters``: optional ``{"ovc": int, "col": int}`` dict accumulated
+    in place with the comparison counts of every pairwise merge step
+    (``merge2_compare_counts``) — the production path's equivalent of
+    the reference tree's instrumentation, at ~zero cost.
     """
     k = len(run_keys)
     if k == 0:
@@ -58,6 +97,10 @@ def merge_runs_packed(run_keys: list[np.ndarray]) -> np.ndarray:
         if ia[0] > ib[0] if len(ia) and len(ib) else False:
             (ka, ia), (kb, ib) = (kb, ib), (ka, ia)
         pa_, pb_ = merge2_positions(ka, kb)
+        if counters is not None:
+            ovc, col = merge2_compare_counts(ka, kb, pa_, pb_)
+            counters["ovc"] = counters.get("ovc", 0) + ovc
+            counters["col"] = counters.get("col", 0) + col
         n = len(ka) + len(kb)
         keys = np.empty(n, dtype=ka.dtype)
         idx = np.empty(n, dtype=np.int64)

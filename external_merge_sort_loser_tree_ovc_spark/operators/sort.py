@@ -133,26 +133,33 @@ _NUMERIC_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _IDENTITY_KEYS_CACHE: dict[int, list[int]] = {}
 
 
-def _identity_shuffle_keys(spark, n: int) -> list[int]:
+def _identity_shuffle_keys(spark, n: int) -> list[int] | None:
     """x_t per target partition t with pmod(murmur3(x_t), n) == t, so
     ``repartition(n, key)`` places bucket t in partition t exactly.
     One tiny deterministic job per distinct n (murmur3 is fixed, so the
     table is process-cacheable); F.hash is the same Murmur3(seed=42)
-    that HashPartitioning uses."""
+    that HashPartitioning uses.
+
+    Returns None when even a widened scan leaves the preimage table
+    incomplete (astronomically unlikely at 4096n candidates, but a crash
+    would be the wrong failure mode) — the caller then degrades to
+    repartitionByRange instead of dying mid-job."""
     if n in _IDENTITY_KEYS_CACHE:
         return _IDENTITY_KEYS_CACHE[n]
-    rows = (
-        spark.range(0, max(64 * n, 1024))
-        .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("t"))
-        .groupBy("t")
-        .agg(F.min("id").alias("x"))
-        .collect()
-    )
-    lut = {int(r["t"]): int(r["x"]) for r in rows}
-    assert len(lut) == n, "murmur3 preimage table incomplete; widen the scan"
-    xs = [lut[t] for t in range(n)]
-    _IDENTITY_KEYS_CACHE[n] = xs
-    return xs
+    for span in (64 * n, 4096 * n):
+        rows = (
+            spark.range(0, max(span, 1024))
+            .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("t"))
+            .groupBy("t")
+            .agg(F.min("id").alias("x"))
+            .collect()
+        )
+        lut = {int(r["t"]): int(r["x"]) for r in rows}
+        if len(lut) == n:
+            xs = [lut[t] for t in range(n)]
+            _IDENTITY_KEYS_CACHE[n] = xs
+            return xs
+    return None
 
 
 def salted_repartition_by_range(
@@ -192,7 +199,12 @@ def salted_repartition_by_range(
         parted = salted.repartitionByRange(n, *[F.col(k) for k in keys], F.col(salt_col))
         return parted.drop(salt_col)
 
-    ck = F.col(keys[0]).cast("bigint") * salt_buckets + F.col(salt_col)
+    # composite order = (key, salt) LEXICOGRAPHIC.  The driver composes
+    # ck = key * salt_buckets + salt in arbitrary-precision Python ints
+    # (sample-side only); the per-row Spark expressions compare (key,
+    # salt) tuple-wise against decomposed bounds — no int64 key
+    # multiplication anywhere in the row path, so extreme key domains
+    # (|key| > 2^63/salt_buckets) cannot silently wrap (r2 advice).
     # bounds from a CONTENT-hash sample + exact driver-side quantiles:
     # - content-based filter (xxhash64 of the key mod m) selects the
     #   same rows regardless of partition layout or RDD ids — unlike
@@ -204,7 +216,6 @@ def salted_repartition_by_range(
     #   defeat fingerprint-verified checkpoint replay.
     # The sample is capped (~hash-rate 1/16) and only the sampled rows
     # pay the salt hash.
-    import numpy as np
 
     # the sample hash must be ROW-granular (all columns), not key-
     # granular: a hot key shared by 50% of rows is all-or-nothing under
@@ -220,43 +231,56 @@ def salted_repartition_by_range(
         salt_col,
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
-    # the limit() caps driver memory at any input size; whenever the
-    # hash sample fits under it (size the sample_mod for ~<=256k sampled
-    # rows) the collected set — and therefore the bounds — is exactly
-    # reproducible.  If the cap ever truncates, bounds may differ
-    # between runs and the kernel's fingerprint-verified resume safely
-    # recomputes instead of replaying.
-    vals = np.array(
-        [
-            r[0]
-            for r in samp.select(ck.alias("_ck")).limit(1 << 18).collect()
-            if r[0] is not None
-        ],
-        dtype=np.int64,
-    )
-    if len(vals) < 4 * n:  # degenerate tiny input: use the full data
-        vals = np.array(
-            [
-                r[0]
-                for r in salted.select(ck.alias("_ck")).limit(1 << 18).collect()
-                if r[0] is not None
-            ],
-            dtype=np.int64,
+
+    def _collect_composites(src) -> list[int]:
+        # the limit() caps driver memory at any input size; whenever the
+        # hash sample fits under it (size the sample_mod for ~<=256k
+        # sampled rows) the collected set — and therefore the bounds —
+        # is exactly reproducible.  If the cap ever truncates, bounds
+        # may differ between runs and the kernel's fingerprint-verified
+        # resume safely recomputes instead of replaying.
+        rows = (
+            src.select(
+                F.col(keys[0]).cast("bigint").alias("_k"), F.col(salt_col).alias("_s")
+            )
+            .limit(1 << 18)
+            .collect()
         )
+        return sorted(
+            int(r["_k"]) * salt_buckets + int(r["_s"])
+            for r in rows
+            if r["_k"] is not None
+        )
+
+    vals = _collect_composites(samp)
+    if len(vals) < 4 * n:  # degenerate tiny input: use the full data
+        vals = _collect_composites(salted)
     if len(vals) == 0:
         return salted.repartition(n).drop(salt_col)
-    bounds = [
-        int(b) for b in np.quantile(vals, [i / n for i in range(1, n)], method="lower")
-    ]
+    m = len(vals)
+    # exact "lower" quantiles of the sorted sample (same element
+    # np.quantile(method="lower") would pick), in Python ints
+    bounds = [vals[(i * (m - 1)) // n] for i in range(1, n)]
+    xs = _identity_shuffle_keys(df.sparkSession, n)
+    if xs is None:  # preimage table incomplete: degrade, don't crash
+        parted = salted.repartitionByRange(n, *[F.col(k) for k in keys], F.col(salt_col))
+        return parted.drop(salt_col)
     # bucket id via a codegen'd CASE ladder (a lambda over an array
-    # literal would run interpreted per row).  NULL keys route to
-    # bucket 0: the kernel sorts nulls FIRST, so nulls-first global
-    # order holds across partition ids (repartitionByRange semantics).
+    # literal would run interpreted per row).  Each bound decomposes
+    # back into (key_bound, salt_bound); the row-side test is the
+    # overflow-free tuple compare  key < kb  OR  (key == kb AND salt <=
+    # sb).  NULL keys route to bucket 0: the kernel sorts nulls FIRST,
+    # so nulls-first global order holds across partition ids
+    # (repartitionByRange semantics).
+    key_c = F.col(keys[0]).cast("bigint")
     pid = F.lit(len(bounds))
     for i in range(len(bounds) - 1, -1, -1):
-        pid = F.when(ck <= F.lit(int(bounds[i])), F.lit(i)).otherwise(pid)
+        kb, sb = divmod(int(bounds[i]), salt_buckets)
+        cond = (key_c < F.lit(kb)) | (
+            (key_c == F.lit(kb)) & (F.col(salt_col) <= F.lit(sb))
+        )
+        pid = F.when(cond, F.lit(i)).otherwise(pid)
     pid = F.when(F.col(keys[0]).isNull(), F.lit(0)).otherwise(pid)
-    xs = _identity_shuffle_keys(df.sparkSession, n)
     # murmur3 is TYPE-sensitive: the preimage table hashed BIGINTs, so
     # the literals must be BIGINT too or the mapping silently scrambles
     part_key = F.element_at(

@@ -1,16 +1,34 @@
 """Flagship pipeline: the north-star job end to end.
 
-  pages --geocode/cell-encode (codegen)--> morton key
+  pages --geocode/cell-encode (codegen)--> morton key (+ 40-bit url-hash
+        tiebreak, so the sort key is all-integer and packs into ONE
+        uint64 per row: 24 morton bits + 40 hash bits)
         --salted repartitionByRange (the explicit skew-safe shuffle)-->
-        per-partition OVC loser-tree external sort (mapInPandas kernel)
+        per-partition OVC external merge sort (mapInArrow kernel,
+        packed single-int compares, counted IN the production merge)
         --> point-in-polygon join (broadcast cover + ray-cast refine)
         --> raster tile counts
         + per-partition lineage/metrics (runs, passes, spill, compares)
 
 This is SURVEY §3.4's lifecycle as one callable, used by ``bench.py``
-(throughput + scaling efficiency) and the e2e tests.  The sort stage
-also runs in ``exact`` mode over the integer key projection to report
-the reference-style merge comparison counts (TreeOfLosers.cpp ``ct``).
+(throughput + scaling efficiency) and the e2e tests.
+
+Instrumentation comes from the ONE production sort (like the reference,
+``Sort.cpp:90-100``): the packed vectorized merge counts, per pairwise
+merge step, how many head-to-head comparisons resolved on the single
+packed integer (``ovc_compares``) vs how many tied on the code and
+would need a suffix/column compare (``col_compares``) — see
+``kernel/vmerge.merge2_compare_counts``.  The round-2 shadow exact-mode
+sort (a SECOND full sort run only to count compares) is gone.
+
+Throughput definitions (unambiguous, reported side by side):
+  pages_per_sec       = n_pages / (s_sort + s_pip + s_tiles)   — the
+                        engine core: sort + the two spatial consumers;
+                        excludes input synthesis/encode and witness
+                        verification legs.
+  pages_per_sec_total = n_pages / total_sec — whole job wall clock
+                        including encode, both witness passes and
+                        lineage collection.
 """
 
 from __future__ import annotations
@@ -39,14 +57,21 @@ def flagship_pipeline(
     tile_zoom: int = 6,
     num_partitions: int | None = None,
     salt_buckets: int = 8,
-    memory_budget_rows: int = 1 << 19,
-    count_compares: bool = True,
+    memory_budget_rows: int | None = None,
+    count_compares: bool = True,  # kept for API compat; counters are free now
     keep_lineage: bool = False,
     cache_input: bool = True,
     checkpoint_dir: str | None = None,
 ) -> dict:
     """Run the full pipeline; returns a metrics dict (wall seconds per
-    stage, pages/sec, merge comparisons/sec, witness parity in==out)."""
+    stage, pages/sec, merge comparisons/sec, witness parity in==out).
+
+    ``memory_budget_rows=None`` auto-sizes the kernel budget so each
+    partition forms several external runs (~8) — the external-merge
+    geometry the engine exists to demonstrate; pass an explicit value to
+    pin the geometry (tests do).
+    """
+    del count_compares  # counters now come from the production merge
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
@@ -54,20 +79,22 @@ def flagship_pipeline(
     t0 = time.perf_counter()
 
     enc = with_morton(with_grid(pages, "lat", "lon", cell_res))
-    enc = enc.select("url", "warc_ts", "text", "lang", "lat", "lon", "cell", "morton")
-    # the encoded input feeds FOUR passes (witness-in, range sampler, the
-    # shuffle itself, and the exact-mode compare leg).  Against a real
-    # storage-backed table each extra pass is a column-pruned scan; when
-    # the input is a synthesized/derived plan, recomputing it per pass
-    # times the generator, not the engine — persist serialized (rows go
-    # to spark.local.dir scratch if memory is short).
+    # 40-bit url-hash tiebreak: morton at res<=12 needs <=24 bits, so
+    # (morton, urlh) spans <=64 bits and pack_columns_shared packs the
+    # whole key into one uint64 -> every production merge is single-
+    # machine-integer compares (the OVC thesis, reference README.md:4-5)
+    # WITH counters.  Deterministic (hash of content, no RNG).
+    enc = enc.select(
+        "url", "warc_ts", "text", "lang", "lat", "lon", "cell", "morton"
+    ).withColumn("urlh", F.shiftrightunsigned(F.xxhash64("url"), 24))
+    # the encoded input feeds THREE passes (witness-in, range sampler,
+    # the shuffle itself).  Against a real storage-backed table each
+    # extra pass is a column-pruned scan; when the input is a
+    # synthesized/derived plan, recomputing it per pass times the
+    # generator, not the engine — persist serialized (rows go to
+    # spark.local.dir scratch if memory is short).
     if cache_input:
         enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # witness below the sort (reference plan shape: Witness(Sort(Witness(...))))
-    w_in = witness_summary(enc, ["url", "text"])
-    t1 = time.perf_counter()
-    out["s_encode_witness"] = t1 - t0
 
     spill_root = default_spill_root()
     # an explicit checkpoint_dir persists across invocations: re-running
@@ -78,13 +105,28 @@ def flagship_pipeline(
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="emsort-flagship-", dir=spill_root)
     os.makedirs(ckpt, exist_ok=True)
     try:
+        # witness below the sort (reference plan shape:
+        # Witness(Sort(Witness(...))))
+        w_in = witness_summary(enc, ["url", "text"])
+        n_in = w_in["rows"]
+        t1 = time.perf_counter()
+        out["s_encode_witness"] = t1 - t0
+
+        # auto budget: ~8 runs per partition so run formation, the
+        # intermediate-merge planner and the final merge all execute
+        # (a budget >= partition size would sort in memory and the
+        # external-merge machinery would never run)
+        budget = memory_budget_rows or max(2048, n_in // (n_parts * 8) or 1)
+        batch_rows = max(256, budget // 8)
+
         salted = salted_repartition_by_range(
             enc, ["morton"], salt_buckets=salt_buckets, num_partitions=n_parts
         )
         sorted_df = external_sort_df(
             salted,
-            ["morton", "url"],
-            memory_budget_rows=memory_budget_rows,
+            ["morton", "urlh"],
+            memory_budget_rows=budget,
+            batch_rows=batch_rows,
             checkpoint_dir=ckpt,
             skip_shuffle=True,
         )
@@ -115,7 +157,8 @@ def flagship_pipeline(
         t5 = time.perf_counter()
         out["s_tiles"] = t5 - t4
 
-        # lineage / instrumentation from the kernel's per-partition metrics
+        # lineage / instrumentation from the kernel's per-partition
+        # metrics — including the production-merge comparison counters
         mdir = os.path.join(ckpt, "_metrics")
         lineage = []
         if os.path.isdir(mdir):
@@ -127,57 +170,29 @@ def flagship_pipeline(
         out["runs_formed"] = sum(m.get("runs_formed", 0) for m in lineage)
         out["merge_passes_max"] = max((m.get("passes", 0) for m in lineage), default=0)
         out["partitions_resumed"] = sum(1 for m in lineage if m.get("resumed"))
+        out["ovc_compares"] = sum(m.get("ovc_compares", 0) for m in lineage)
+        out["col_compares"] = sum(m.get("col_compares", 0) for m in lineage)
+        out["merge_comparisons_per_sec"] = (
+            (out["ovc_compares"] + out["col_compares"]) / out["s_sort"]
+            if out["s_sort"] > 0
+            else 0.0
+        )
         if keep_lineage:
             out["lineage"] = lineage
         sorted_df.unpersist()
     finally:
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
+        if cache_input:
+            enc.unpersist()
 
-    # exact-mode comparison counting over the integer key projection
-    if count_compares:
-        t6 = time.perf_counter()
-        keys_only = enc.select(
-            F.col("morton"), F.xxhash64("url").alias("urlh")
-        )
-        ckpt2 = tempfile.mkdtemp(prefix="emsort-exact-", dir=spill_root)
-        try:
-            # size the budget so each partition forms ~8 external runs —
-            # otherwise small inputs sort in-memory and no merge (hence no
-            # tree comparisons) ever happens
-            exact_budget = max(512, out["n_pages"] // (n_parts * 8))
-            exact = external_sort_df(
-                keys_only,
-                ["morton", "urlh"],
-                memory_budget_rows=exact_budget,
-                batch_rows=max(1024, exact_budget // 4),
-                mode="exact",
-                checkpoint_dir=ckpt2,
-                num_partitions=n_parts,
-            )
-            exact.write.format("noop").mode("overwrite").save()
-            mdir2 = os.path.join(ckpt2, "_metrics")
-            ovc = col = 0
-            for f_ in os.listdir(mdir2):
-                if f_.startswith("partition-"):
-                    with open(os.path.join(mdir2, f_)) as fh:
-                        m = json.load(fh)
-                    ovc += m.get("ovc_compares", 0)
-                    col += m.get("col_compares", 0)
-            t7 = time.perf_counter()
-            out["s_exact_sort"] = t7 - t6
-            out["ovc_compares"] = ovc
-            out["col_compares"] = col
-            out["merge_comparisons_per_sec"] = (
-                (ovc + col) / (t7 - t6) if t7 > t6 else 0.0
-            )
-        finally:
-            shutil.rmtree(ckpt2, ignore_errors=True)
-
-    if cache_input:
-        enc.unpersist()
     total = time.perf_counter() - t0
     out["total_sec"] = total
     core = out["s_sort"] + out["s_pip"] + out["s_tiles"]
     out["pages_per_sec"] = out["n_pages"] / core if core > 0 else 0.0
+    out["pages_per_sec_total"] = out["n_pages"] / total if total > 0 else 0.0
+    out["throughput_definition"] = (
+        "pages_per_sec = n_pages / (s_sort + s_pip + s_tiles); "
+        "pages_per_sec_total = n_pages / total_sec"
+    )
     return out

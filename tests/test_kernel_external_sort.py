@@ -218,3 +218,58 @@ def test_planner_static_schedule():
     assert plan.steps[0].fan_in == 5
     total_inputs = sum(len(s.run_ids) for s in plan.steps)
     assert total_inputs >= 23 - 10
+
+
+def test_fast_mode_production_merge_counters(tmp_path):
+    """Round-3: fast-mode comparison counters come from the ONE
+    production packed merge (vmerge.merge2_compare_counts), not a shadow
+    exact sort.  Deterministic geometry -> pinned counts."""
+    n, mem, batch = 8000, 1000, 100
+    frame = kernel_frame(n, 4, 10, 0, seed=17)
+    out, m = run_sort(tmp_path, frame, list(frame.columns), mem, batch, mode="fast")
+    assert len(out) == n
+    assert_sorted(out, list(frame.columns))
+    assert m.mode == "fast"
+    assert m.ovc_compares > 0
+    # tournament of pairwise merges: <= ceil(log2 W) compares/row total
+    assert m.ovc_compares + m.col_compares <= n * math.ceil(math.log2(m.runs_formed))
+    # same input, same geometry -> identical counters (determinism)
+    out2, m2 = run_sort(
+        tmp_path, frame, list(frame.columns), mem, batch, mode="fast", subdir="s2"
+    )
+    assert (m2.ovc_compares, m2.col_compares) == (m.ovc_compares, m.col_compares)
+
+
+def test_exact_mode_string_keys_counts(tmp_path):
+    """Round-3 gap #3 closed: exact (counted loser-tree) mode now covers
+    string-keyed schemas via order-preserving global rank codes; counts
+    are nonzero and pinned (the reference-style instrumentation no
+    longer silently vanishes on string keys)."""
+    rng = np.random.default_rng(11)
+    words = ["alpha", "Beta", "gamma", "ALPHA", "zeta", "eta", "", "alphaa"]
+    frame = pd.DataFrame(
+        {
+            "s": rng.choice(words, size=6000),
+            "v": rng.integers(0, 50, size=6000).astype(np.int64),
+        }
+    )
+    out, m = run_sort(tmp_path, frame, ["s", "v"], 800, 100, mode="exact")
+    assert m.mode == "exact"
+    exp = frame.sort_values(["s", "v"], kind="stable", ignore_index=True)
+    # multiset equality + sortedness (tie order: deterministic global
+    # index, not run order — documented in _final_exact_coded)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["s", "v"], kind="stable", ignore_index=True),
+        exp,
+        check_dtype=False,
+    )
+    assert_sorted(out.assign(s=out.s.map(lambda x: x.encode())), ["s"])
+    assert m.ovc_compares > 0
+    assert m.col_compares >= 0
+    # pinned: deterministic fixture + geometry => exact counter parity
+    # across refactors (update ONLY with an explained kernel change)
+    assert (m.ovc_compares, m.col_compares) == (PIN_STR_EXACT_OVC, PIN_STR_EXACT_COL)
+
+
+PIN_STR_EXACT_OVC = 17606
+PIN_STR_EXACT_COL = 1959

@@ -43,7 +43,7 @@ def test_flagship_pipeline(spark, scenario):
     PIP hits match a brute-force check, comparisons counted."""
     pages = synth_pages(spark, 20000, scenario=scenario)
     m = flagship_pipeline(
-        spark, pages, num_partitions=8, memory_budget_rows=4096
+        spark, pages, num_partitions=8, memory_budget_rows=1024
     )
     assert m["n_pages"] == 20000
     assert m["n_tiles"] > 0
