@@ -165,6 +165,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    max_probe_planes: int = 4,
     method: str = "lsh",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with quantized dist2 <= dist2_max.
@@ -176,10 +177,16 @@ def neardup_pairs(
     distance d by sqrt(dim)*d, so a pair within ``dist2_max`` can only
     disagree in sign on plane h when the probe side's projection
     satisfies proj^2 <= dim * dist2_max.  Probing every sign combination
-    of exactly those "uncertain" planes therefore reaches every true
-    pair's home bucket: the candidate set provably covers all true
-    pairs, and the exact int64 verify inside the bucket join makes the
+    of exactly those "uncertain" planes reaches every true pair's home
+    bucket; the exact int64 verify inside the bucket join makes the
     output identical to the O(n^2) oracle (bit-exact, not approximate).
+
+    ``max_probe_planes`` bounds the fan-out at 2^max_probe_planes
+    copies/row (r2 verdict: unbounded multi-probe is 2^n_planes
+    amplification on near-plane data).  Rows with more uncertain planes
+    take a brute-force fallback band instead — output stays bit-exact,
+    and the worst case is the explicit O(n * n_overcap) exact check
+    rather than a silently exploded shuffle.
 
     ``method="exact"``: the blocked O(n^2) broadcast verify — the
     small-scale oracle mode (<= ~10^5 vectors).
@@ -187,62 +194,125 @@ def neardup_pairs(
     if method == "exact":
         return _neardup_exact(vectors, dist2_max, id_col=id_col, vec_col=vec_col)
     return _neardup_lsh(
-        vectors, dist2_max, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+        vectors,
+        dist2_max,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        max_probe_planes=max_probe_planes,
     )
 
 
-def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes):
-    """LSH candidates (bucket equi-join, exact-coverage multi-probe) +
-    exact int64 verify.  Fully distributed: no full-table collect."""
-    from pyspark.sql.types import ArrayType, FloatType
+def _bucketize_frame(
+    pdf: pd.DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    thr: int,
+    probe: bool,
+    max_probe_planes: int,
+) -> pd.DataFrame:
+    """One pandas batch -> (vid, bucket, e) rows.
+
+    Home side (``probe=False``): one row per vector, its sign bucket.
+
+    Probe side: for each vector, the set of planes whose sign a partner
+    within ``thr`` could flip is ``proj^2 <= dim*thr`` (Cauchy-Schwarz
+    on ±1 planes).  Rows with at most ``max_probe_planes`` such planes
+    fan out over every sign combination (exact coverage, bounded at
+    2^max_probe_planes copies).  Rows with MORE uncertain planes would
+    amplify exponentially — they emit ONE marker row with bucket=-1 and
+    are verified brute-force against the full table instead (still
+    exact; see ``_neardup_lsh``).  Without the cap, near-plane data
+    (e.g. unit vectors with a large threshold, where sqrt(dim*thr)
+    exceeds the max possible projection) silently degenerates to
+    2^n_planes-times-the-table shuffle amplification (r2 verdict #2).
+    """
+    mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+    dim = mat.shape[1]
+    planes = _plane_signs(dim, n_planes)
+    proj = mat @ planes.T  # (n, P) int64, exact
+    home = (
+        (proj > 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64)[None, :]
+    ).sum(axis=1)
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if not probe:
+        return pd.DataFrame({"vid": ids, "bucket": home, "e": pdf[vec_col]})
+    uncertain = (proj * proj) <= dim * thr
+    n_unc = uncertain.sum(axis=1)
+    unc_bits = (
+        uncertain.astype(np.int64) << np.arange(n_planes, dtype=np.int64)[None, :]
+    ).sum(axis=1)
+    capped = n_unc > max_probe_planes
+    masks = np.arange(1 << n_planes, dtype=np.int64)[None, :]
+    valid = ((masks & ~unc_bits[:, None]) == 0) & ~capped[:, None]
+    ii, cc = np.nonzero(valid)
+    out = pd.DataFrame(
+        {
+            "vid": ids[ii],
+            "bucket": home[ii] ^ masks[0, cc],
+            "e": pdf[vec_col].iloc[ii].to_numpy(),
+        }
+    )
+    if capped.any():
+        fb = pd.DataFrame(
+            {
+                "vid": ids[capped],
+                "bucket": np.int64(-1),
+                "e": pdf[vec_col].iloc[capped].to_numpy(),
+            }
+        )
+        out = pd.concat([out, fb], ignore_index=True)
+    return out
+
+
+def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_planes=4):
+    """LSH candidates (bucket equi-join, exact-coverage multi-probe
+    bounded at 2^max_probe_planes copies/row) + exact int64 verify.
+    Fully distributed: no full-table collect.
+
+    Rows whose uncertain-plane count exceeds the cap cannot be probed
+    exactly within the bound; they fall back to a brute-force band: the
+    over-cap PROBE rows cross-join the home table and are verified
+    exactly.  Coverage stays exact: a true pair (a < b) is found either
+    through a's bounded probe set (a under-cap: probes reach b's home)
+    or through the fallback band (a over-cap).  When the data/threshold
+    combination makes most rows over-cap (unit vectors with a radius
+    where sqrt(dim*thr) exceeds any possible projection), the operator
+    therefore degrades to the blocked O(n^2) exact path EXPLICITLY —
+    same asymptotics the "exact coverage" multi-probe was silently
+    hiding as 2^n_planes shuffle copies, minus the amplification.
+    """
+    elem_t = vectors.schema[vec_col].dataType.elementType
+    from pyspark.sql.types import ArrayType
 
     thr = int(dist2_max)
-    n_probe_buckets = 1 << n_planes
 
+    # carry the SOURCE element type: re-emitting double embeddings as
+    # float32 could shift a quantized unit at rounding boundaries and
+    # silently diverge from the exact oracle (r2 advice)
     bucket_schema = StructType(
         [
             StructField("vid", LongType()),
             StructField("bucket", LongType()),
-            StructField("e", ArrayType(FloatType())),
+            StructField("e", ArrayType(elem_t)),
         ]
     )
 
     def make_bucketizer(probe: bool):
         def bucketize(it):
-            planes = None
-            dim = None
             for pdf in it:
                 if pdf.empty:
                     continue
-                mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
-                if planes is None:
-                    dim = mat.shape[1]
-                    planes = _plane_signs(dim, n_planes)
-                proj = mat @ planes.T  # (n, P) int64, exact
-                home = ((proj > 0).astype(np.int64) << np.arange(
-                    n_planes, dtype=np.int64
-                )[None, :]).sum(axis=1)
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                if not probe:
-                    yield pd.DataFrame({"vid": ids, "bucket": home, "e": pdf[vec_col]})
-                    continue
-                # uncertain plane h: proj^2 <= dim * thr (sign could
-                # differ for a partner within thr) -> probe every sign
-                # combination of the uncertain planes, vectorized as an
-                # (n, 2^P) validity matrix over flip masks
-                unc_bits = (
-                    ((proj * proj) <= dim * thr).astype(np.int64)
-                    << np.arange(n_planes, dtype=np.int64)[None, :]
-                ).sum(axis=1)
-                masks = np.arange(n_probe_buckets, dtype=np.int64)[None, :]
-                valid = (masks & ~unc_bits[:, None]) == 0  # flips only uncertain planes
-                ii, cc = np.nonzero(valid)
-                yield pd.DataFrame(
-                    {
-                        "vid": ids[ii],
-                        "bucket": home[ii] ^ masks[0, cc],
-                        "e": pdf[vec_col].iloc[ii].to_numpy(),
-                    }
+                yield _bucketize_frame(
+                    pdf,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    n_planes=n_planes,
+                    thr=thr,
+                    probe=probe,
+                    max_probe_planes=max_probe_planes,
                 )
 
         return bucketize
@@ -253,9 +323,20 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes):
         F.col("vid").alias("pvid"), "bucket", F.col("e").alias("pe")
     )
     # probe x home bucket equi-join; id< keeps each unordered pair once
-    # per bucket side and the exact-coverage argument guarantees every
-    # true pair meets in the smaller id's probe set or the larger's
-    cand = probe_df.join(home_df, "bucket").filter(F.col("pvid") < F.col("vid"))
+    # per bucket side; every true pair meets through the smaller id's
+    # probe set (under-cap) or the fallback band (over-cap)
+    cand = (
+        probe_df.filter(F.col("bucket") >= 0)
+        .join(home_df, "bucket")
+        .filter(F.col("pvid") < F.col("vid"))
+    )
+    overcap = probe_df.filter(F.col("bucket") == -1).select("pvid", "pe")
+    fb_cand = overcap.crossJoin(home_df.select("vid", "e")).filter(
+        F.col("pvid") < F.col("vid")
+    )
+    cand = cand.select("pvid", "pe", "vid", "e").unionByName(
+        fb_cand.select("pvid", "pe", "vid", "e")
+    )
 
     out_schema = StructType(
         [
@@ -483,13 +564,16 @@ def ann_ivf(
     )
     bc = spark.sparkContext.broadcast(cent)
 
-    from pyspark.sql.types import ArrayType, FloatType
+    from pyspark.sql.types import ArrayType
 
+    # carry the SOURCE element type (double embeddings must not narrow
+    # to float32 before the exact quantized rerank — r2 advice)
+    elem_t = vectors.schema[vec_col].dataType.elementType
     assign_schema = StructType(
         [
             StructField("vid", LongType()),
             StructField("cluster", LongType()),
-            StructField("e", ArrayType(FloatType())),
+            StructField("e", ArrayType(elem_t)),
         ]
     )
 
@@ -513,7 +597,7 @@ def ann_ivf(
         [
             StructField("query_id", LongType()),
             StructField("cluster", LongType()),
-            StructField("qe", ArrayType(FloatType())),
+            StructField("qe", ArrayType(elem_t)),
         ]
     )
 
@@ -581,11 +665,25 @@ def ann_ivf(
 
 def _plane_signs(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic ±1 hyperplanes (no RNG: derived from index math so
-    every executor regenerates identical planes)."""
-    i = np.arange(dim, dtype=np.int64)[None, :]
-    h = np.arange(n_planes, dtype=np.int64)[:, None]
-    mix = (i * (2 * h + 3) * 2654435761 + h * 40503) % 2
-    return np.where(mix == 0, 1, -1).astype(np.int64)
+    every executor regenerates identical planes).
+
+    Signs come from bit 0 of splitmix64(h*dim + i).  The previous
+    linear-congruence parity collapsed to ``(i + h) % 2`` — every odd
+    multiplier vanishes mod 2 — so all planes were the SAME hyperplane
+    up to global sign (one effective LSH bit; r3 fix).  splitmix64's
+    multiply-xorshift avalanche makes the low bit effectively
+    independent across (h, i)."""
+    idx = (
+        np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(dim)
+        + np.arange(dim, dtype=np.uint64)[None, :]
+    )
+    z = (idx + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x2545F4914F6CDD1D)
+    z ^= z >> np.uint64(31)
+    return np.where(z & np.uint64(1) == 0, 1, -1).astype(np.int64)
 
 
 def ann_lsh_bucketed(
@@ -596,12 +694,22 @@ def ann_lsh_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    n_probe_planes: int = 3,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection bucket join, exact
     rerank within bucket.  Recall < 1 by design -> no SQL oracle (the
     driver records a rows-only check); accuracy is asserted in pytest
-    against ann_topk on fixture data."""
+    against ann_topk on fixture data.
+
+    Query-side multi-probe (``n_probe_planes`` = m): each query also
+    probes every sign combination of its m lowest-|projection| planes —
+    2^m buckets per query, the planes a true neighbour is most likely
+    to flip.  The TABLE side still emits exactly one row per vector;
+    only the tiny query set fans out, so the join stays a bucket
+    equi-join with the big side unamplified (the knob trades query-side
+    probe count for recall, the standard multi-probe LSH design)."""
     spark = vectors.sparkSession
+    m = min(n_probe_planes, n_planes)
 
     def bucketize(it):
         planes = None
@@ -622,20 +730,62 @@ def ann_lsh_bucketed(
                 }
             )
 
-    from pyspark.sql.types import ArrayType, FloatType
+    def probe(it):
+        planes = None
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            if planes is None:
+                planes = _plane_signs(mat.shape[1], n_planes)
+            proj = mat @ planes.T
+            home = (
+                (proj > 0).astype(np.int64)
+                << np.arange(n_planes, dtype=np.int64)[None, :]
+            ).sum(axis=1)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # m lowest-|proj| planes per query, all 2^m sign combos
+            low = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :m]
+            masks = np.arange(1 << m, dtype=np.int64)
+            flip = np.zeros((len(ids), 1 << m), dtype=np.int64)
+            for j in range(m):
+                flip ^= np.where(
+                    (masks[None, :] >> j) & 1 == 1, 1 << low[:, j : j + 1], 0
+                )
+            buckets = home[:, None] ^ flip
+            rep = np.repeat(np.arange(len(ids)), 1 << m)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[rep],
+                    "bucket": buckets.ravel(),
+                    "qe": pdf[vec_col].iloc[rep].to_numpy(),
+                }
+            )
 
+    from pyspark.sql.types import ArrayType
+
+    elem_t = vectors.schema[vec_col].dataType.elementType
     schema = StructType(
         [
             StructField("vid", LongType()),
             StructField("bucket", LongType()),
-            StructField("e", ArrayType(FloatType())),
+            StructField("e", ArrayType(elem_t)),
         ]
     )
-    bucketed = vectors.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
-    bucketed = bucketed.cache()
-    qs = bucketed.filter(F.col("vid").isin([int(q) for q in query_ids])).select(
-        F.col("vid").alias("query_id"), "bucket", F.col("e").alias("qe")
+    probe_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("qe", ArrayType(elem_t)),
+        ]
     )
+    src = vectors.select(id_col, vec_col)
+    bucketed = src.mapInPandas(bucketize, schema=schema).cache()
+    qs = src.filter(F.col(id_col).isin([int(q) for q in query_ids])).mapInPandas(
+        probe, schema=probe_schema
+    )
+    # (query, bucket) rows are distinct and each vid has ONE home bucket
+    # -> candidate (query, vid) pairs are already unique
     cand = qs.join(bucketed, "bucket").filter(F.col("query_id") != F.col("vid"))
 
     out_schema = StructType(

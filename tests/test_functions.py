@@ -160,11 +160,57 @@ def test_ann_lsh_recall(spark, emb):
 
     qids = [0, 7, 21, 42, 63]
     exact = ann_topk(emb, qids, k=5).toPandas()
-    approx = ann_lsh_bucketed(emb, qids, k=5, n_planes=4).toPandas()
+    approx = ann_lsh_bucketed(
+        emb, qids, k=5, n_planes=4, n_probe_planes=3
+    ).toPandas()
     e = set(zip(exact.query_id, exact.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # the gate embeddings are ISOTROPIC RANDOM unit vectors — the
+    # provable worst case for any LSH family: a near-orthogonal
+    # "neighbour"'s sign bits are independent coin flips, so expected
+    # recall cannot exceed the scanned bucket fraction.  P=4/m=3 scans
+    # ~50% and measures 0.60 here (deterministic planes -> stable).
+    # The >=0.8-at-low-scan bar is asserted on the clustered fixture
+    # below, the regime LSH is actually FOR.
+    assert recall >= 0.55, f"LSH recall too low: {recall}"
+
+
+def test_ann_lsh_recall_clustered(spark):
+    """LSH's real workload: clustered data where true neighbours are
+    genuinely close.  50 clusters x 10 points, tight in-cluster noise:
+    recall must be >= 0.9 with single-digit probe counts (and the scan
+    fraction stays far below brute force, unlike the random-vector
+    worst case above)."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_lsh_bucketed,
+        ann_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 32, 50, 10
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            v = c + rng.normal(0, 0.02, dim)
+            rows.append((vid, (v / np.linalg.norm(v)).astype("float32")))
+            vid += 1
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    qids = [0, 55, 123, 250, 499]
+    exact = ann_topk(df, qids, k=5).toPandas()
+    approx = ann_lsh_bucketed(
+        df, qids, k=5, n_planes=8, n_probe_planes=3
+    ).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"clustered LSH recall too low: {recall}"
 
 
 def test_media_metadata_vs_oracle(spark, docs):
@@ -243,6 +289,43 @@ def test_neardup_lsh_runs_no_job_at_construction(spark, emb):
     _plan = neardup_pairs(emb, 10**6)  # build only, no action
     after = set(tracker.getJobIdsForGroup(None))
     assert before == after, "plan construction launched Spark jobs"
+
+
+def test_neardup_probe_amplification_bounded():
+    """r3: multi-probe fan-out is hard-capped at 2^max_probe_planes
+    copies per row; rows with more uncertain planes emit ONE bucket=-1
+    marker (brute-force fallback band) instead of exploding."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        _bucketize_frame,
+    )
+
+    rng = np.random.default_rng(5)
+    # adversarial near-plane data: unit vectors + a threshold where
+    # sqrt(dim*thr) exceeds any possible projection -> every plane
+    # uncertain for every row (the r2 unbounded path emitted 2^8 = 256
+    # copies/row here)
+    dim, n = 64, 200
+    v = rng.normal(0, 1, (n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [r.astype("float32") for r in v]}
+    )
+    cap = 4
+    probe = _bucketize_frame(
+        pdf, id_col="vec_id", vec_col="embedding", n_planes=8,
+        thr=1_100_000, probe=True, max_probe_planes=cap,
+    )
+    assert len(probe) <= n * (1 << cap)
+    # on THIS data every row is over-cap: all go to the fallback band
+    assert (probe.bucket == -1).all() and len(probe) == n
+    # moderate data (tight threshold): fan-out bounded, no fallback
+    probe2 = _bucketize_frame(
+        pdf, id_col="vec_id", vec_col="embedding", n_planes=8,
+        thr=50, probe=True, max_probe_planes=cap,
+    )
+    assert len(probe2) <= n * (1 << cap)
+    per_row = probe2.groupby("vid").size()
+    assert (per_row <= (1 << cap)).all()
 
 
 def _mkdocs(spark, texts):
@@ -453,6 +536,14 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     a = set(zip(a1.query_id, a1.neighbor_id))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # recall-vs-n_probe curve: more probed cells can only add candidates
+    # (monotone coverage), and probing ALL cells is exhaustive search
+    a0 = ann_ivf(emb, qids, k=5, n_clusters=8, n_probe=1).toPandas()
+    r0 = len(e & set(zip(a0.query_id, a0.neighbor_id))) / len(e)
+    assert recall >= r0, f"recall not monotone in n_probe: {r0} -> {recall}"
+    afull = ann_ivf(emb, qids, k=5, n_clusters=8, n_probe=8).toPandas()
+    rfull = len(e & set(zip(afull.query_id, afull.neighbor_id))) / len(e)
+    assert rfull == 1.0, f"n_probe == n_clusters must be exhaustive: {rfull}"
 
 
 def test_kmeans_quantized_deterministic(spark, emb):

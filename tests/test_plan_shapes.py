@@ -85,18 +85,30 @@ def test_text_byte_identical_per_url(spark):
 
 
 def test_neardup_lsh_plan_shape(spark):
-    """The 100 TB contracts for the LSH near-dup path: candidates come
-    from a bucket EQUI-join (never a cartesian/nested-loop product),
-    and plan construction launches no Spark job (no driver collect)."""
+    """The 100 TB contracts for the LSH near-dup path: the MAIN
+    candidate path is a bucket EQUI-join, and plan construction launches
+    no Spark job (no driver collect).  Since r3 the plan additionally
+    carries EXACTLY ONE non-equi join: the bounded-probe fallback band
+    (over-cap rows x home table) — it is fed only by bucket == -1 marker
+    rows, so it is empty whenever multi-probe stays under the cap, and
+    it is the EXPLICIT form of the brute-force work the old unbounded
+    multi-probe hid as 2^n_planes shuffle amplification."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
         neardup_pairs,
     )
 
     plan = plan_of(neardup_pairs(emb, 10**6))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+
+    # formatted explain mentions each operator twice (tree + details);
+    # count distinct operator ids in the details section
+    nl = len(re.findall(r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)",
+                        plan, re.M))
+    assert nl == 1, f"expected exactly the one fallback-band join, got {nl}"
+    # the non-equi branch must be gated on the marker rows
+    assert "= -1" in plan or "-1)" in plan
 
 
 def test_simhash_banded_plan_shape(spark):
