@@ -541,8 +541,13 @@ class ExternalSorter:
 
     # -- emission ---------------------------------------------------------------
     def _emit_table(self, table: pa.Table):
-        for i in range(0, table.num_rows, self.batch_rows):
-            yield table.slice(i, self.batch_rows)
+        # emission slices are decoupled from batch_rows: batch_rows sets
+        # the merge GEOMETRY (fan-in = budget/batch - 1, reference
+        # B = M/page - 1), but tiny geometry pages would push thousands
+        # of micro-batches into the downstream Arrow stream
+        step = max(self.batch_rows, 8192)
+        for i in range(0, table.num_rows, step):
+            yield table.slice(i, step)
 
 
 class _InlineDone:
