@@ -158,6 +158,107 @@ SELECT * FROM r WHERE rank <= {k}
 """
 
 
+def ann_topk_cosine(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, PURE Catalyst (zero Python in the hot path):
+    the quantized dot product and squared norm are ``zip_with`` +
+    ``aggregate`` built-ins (whole-stage codegen), the query block is a
+    broadcast hash join, and ranking uses an integer-derived key.
+
+    Exact ranking without float dot products: for one query q,
+    cos(q,x) order == order of sign(dot)*dot^2 / |x|^2 (signed square
+    monotone in cos for fixed q).  dot^2 <= (SCALE^2 * dim)^2 ~ 1e12 and
+    |x|^2 ~ 1e6 are both < 2^53, so the one double DIVISION is
+    correctly rounded from exactly-representable int64 inputs — bit-
+    identical in any IEEE-754 engine (Spark and DuckDB agree), while
+    the emitted gate columns (dot, norm2, rank) stay pure int64.
+
+    Returns (query_id, neighbor_id, dot, norm2, rank).
+    """
+    q = (
+        vectors.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_quant_expr_spark(vec_col)).alias("qe"),
+        )
+    )
+    x = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_quant_expr_spark(vec_col)).alias("xe"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "xe", lambda a, b: a * b), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    norm2 = F.aggregate(
+        F.expr("transform(xe, v -> v * v)"), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        x.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn("norm2", norm2)
+        .withColumn(
+            "_ck",
+            (F.signum("dot") * F.col("dot") * F.col("dot")).cast("double")
+            / F.col("norm2").cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ck").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "norm2", "rank")
+    )
+
+
+def ann_topk_cosine_oracle_sql(
+    table: str,
+    query_ids: list[int] | None,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str | None = None,
+) -> str:
+    """Same integer-exact cosine ranking in DuckDB (identical formula,
+    identical correctly-rounded double division)."""
+    if query_pred is None:
+        ids = ", ".join(str(int(i)) for i in query_ids)
+        query_pred = f"{id_col} IN ({ids})"
+    qe = _quant_expr_duck(vec_col)
+    return f"""
+WITH qv AS (
+  SELECT {id_col} AS query_id, {qe} AS e FROM {table} WHERE {query_pred}
+),
+pv AS (SELECT {id_col} AS neighbor_id, {qe} AS e FROM {table}),
+d AS (
+  SELECT qv.query_id, pv.neighbor_id,
+         CAST(list_sum(list_transform(qv.e, (x, ixv) -> x * pv.e[ixv])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(pv.e, x -> x * x)) AS BIGINT) AS norm2
+  FROM qv CROSS JOIN pv
+  WHERE qv.query_id <> pv.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dot, norm2,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(SIGN(dot) * dot * dot AS DOUBLE) / CAST(norm2 AS DOUBLE) DESC,
+                    neighbor_id) AS INT) AS rank
+  FROM d
+)
+SELECT * FROM r WHERE rank <= {k}
+"""
+
+
 def neardup_pairs(
     vectors: DataFrame,
     dist2_max: int,

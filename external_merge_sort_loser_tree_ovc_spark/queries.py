@@ -53,6 +53,8 @@ from .functions.similarity import (
     ann_ivf,
     ann_lsh_bucketed,
     ann_topk,
+    ann_topk_cosine,
+    ann_topk_cosine_oracle_sql,
     ann_topk_oracle_sql,
     neardup_oracle_sql,
     neardup_pairs,
@@ -302,6 +304,16 @@ def q_ann_topk(spark, sf_dir):
     mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
     qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
     return ann_topk(emb, qids, ANN_K)
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-k, pure Catalyst (zip_with/aggregate dot
+    product, broadcast query block, integer-derived exact rank key) —
+    the built-in-functions baseline for embedding similarity."""
+    emb = _read(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
+    return ann_topk_cosine(emb, qids, ANN_K)
 
 
 def q_ann_neardup(spark, sf_dir):
@@ -647,6 +659,12 @@ def _oracle_ann_topk() -> str:
     )
 
 
+def _oracle_ann_cosine() -> str:
+    return ann_topk_cosine_oracle_sql(
+        "embeddings", None, ANN_K, query_pred=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
+
+
 def _oracle_tpch_q1() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
@@ -733,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_text_features": q_text_features,
     "q_ann_topk": q_ann_topk,
+    "q_ann_cosine": q_ann_cosine,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
@@ -787,6 +806,7 @@ ORACLES: dict[str, str] = {
     ),
     "q_text_features": text_features_oracle_sql("documents", "doc_id"),
     "q_ann_topk": _oracle_ann_topk(),
+    "q_ann_cosine": _oracle_ann_cosine(),
     "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),
