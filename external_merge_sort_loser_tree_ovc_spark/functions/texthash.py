@@ -205,6 +205,20 @@ def stopword_count_sql(d: Dialect, text_col: str) -> str:
     return f"CAST({d.size(d.arr_filter(d.split(text_col), 'w', f'w IN ({lst})'))} AS BIGINT)"
 
 
+BPE_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_count_sql(d: Dialect, text_col: str) -> str:
+    """BPE-ish subword-unit count: greedy <=4-char letter chunks + single
+    digits + punctuation — the standard cheap approximation of a trained
+    BPE tokenizer's token count (letters/4 heuristic, made exact and
+    dialect-identical as a regex match count).  Pattern avoids backslash
+    classes (Spark string literals drop unknown escapes)."""
+    if d.name == "spark":
+        return f"CAST(regexp_count({text_col}, '{BPE_PATTERN}') AS BIGINT)"
+    return f"CAST(len(regexp_extract_all({text_col}, '{BPE_PATTERN}')) AS BIGINT)"
+
+
 def lang_id_sql(d: Dialect, text_col: str) -> str:
     """Stopword-ratio heuristic language id: >= 15% English stopwords
     -> 'en' else 'other'.  (A real n-gram model plugs in the same way.)"""

@@ -38,6 +38,7 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = df.select(
         *others,
         F.length(F.col(text_col)).alias("_chars"),
+        F.expr(T.bpe_count_sql(_SPARK, text_col)).alias("_bpe"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_w"),
     ).withColumn("_h", F.expr(T.whash_sql("_w")))
     aggs = [
@@ -47,6 +48,7 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.sum(F.expr(f"(_h + _i * {T.FP_STEP}) % {T.P}")).alias("_fp_sum"),
         F.first("_chars").alias("_chars1"),
+        F.first("_bpe").alias("_bpe1"),
     ]
     for j in range(T.SIMHASH_BITS):
         aggs.append(
@@ -62,6 +64,7 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = grouped.select(
         *others,
         F.col("token_count").cast("bigint").alias("token_count"),
+        F.col("_bpe1").cast("bigint").alias("token_count_bpe"),
         F.col("stopword_count").cast("bigint").alias("stopword_count"),
         F.when(
             F.col("stopword_count").cast("double") / F.col("token_count") >= 0.15,
@@ -85,6 +88,7 @@ def text_features_oracle_sql(table: str, id_col: str, text_col: str = "text") ->
     return f"""
 SELECT {id_col},
        {T.token_count_sql(d, text_col)} AS token_count,
+       {T.bpe_count_sql(d, text_col)} AS token_count_bpe,
        {T.stopword_count_sql(d, text_col)} AS stopword_count,
        {T.lang_id_sql(d, text_col)} AS lang_pred,
        {T.quality_score_sql(d, text_col)} AS quality,
