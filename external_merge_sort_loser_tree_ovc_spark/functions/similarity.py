@@ -14,11 +14,20 @@ Operators:
   the broadcast query block (NumPy matmul), keeps per-batch top-k, and a
   final window picks global top-k.  The big side never shuffles; only
   n_queries*k candidate rows per batch move.
+- ``ann_topk_cosine``: exact cosine top-k entirely in Catalyst
+  built-ins (zip_with/aggregate int64 dot product, broadcast query
+  block, integer-derived rank key) — zero Python in the hot path.
 - ``ann_lsh_bucketed``: the approximate scale path — deterministic
-  sign-random-projection buckets; probe = same bucket only, so the join
-  is a bucket equi-join.  Recall < 1 by design (rows-only check).
-- ``neardup_pairs``: all pairs with dist2 <= threshold (candidate
-  generation by LSH bucket, exact verify).
+  sign-random-projection buckets (splitmix64 planes) with query-side
+  multi-probe (2^m lowest-|proj| sign flips); the table side emits one
+  row per vector, so the join is a bucket equi-join with the big side
+  unamplified.  Recall < 1 by design (rows-only check).
+- ``ann_ivf``: deterministic integer k-means coarse quantizer +
+  probe-and-rerank (rows-only check; recall asserted in pytest).
+- ``neardup_pairs``: all pairs with dist2 <= threshold (LSH bucket
+  candidates with bounded multi-probe + explicit brute-force fallback
+  band for over-cap rows; exact int64 verify — output bit-equals the
+  O(n^2) oracle).
 """
 
 from __future__ import annotations
