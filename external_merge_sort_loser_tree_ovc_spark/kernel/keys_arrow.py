@@ -192,7 +192,15 @@ def key_matrix_table(
         if string_ranks and _is_stringish(col.type):
             nk = _string_rank_codes(col)
         else:
-            nk = normalize_arrow_column(col)
+            try:
+                nk = normalize_arrow_column(col)
+            except TypeError:
+                # unsupported key type (decimal, nested, ...): report a
+                # non-exact constant column so the caller falls back to
+                # Arrow's typed collation sort instead of crashing
+                nk = NormalizedKey(
+                    np.zeros(len(col), dtype=np.uint64), False, 64, None
+                )
         if nk.isnull is not None:
             cols.append((~nk.isnull).astype(np.uint64))
             codes = np.where(nk.isnull, np.uint64(0), nk.codes)

@@ -170,6 +170,7 @@ def salted_repartition_by_range(
     num_partitions: int | None = None,
     salt_col: str = "_salt",
     sample_mod: int = 16,
+    hash_cols: list[str] | None = None,
 ) -> DataFrame:
     """Range partition on (key, salt) so hot keys split across
     partitions while global key order stays contiguous.
@@ -191,8 +192,15 @@ def salted_repartition_by_range(
     multi-column keys fall back to ``repartitionByRange``.
     """
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # hash_cols: the row-identity columns fed to BOTH per-row hashes
+    # (salt + sample filter).  Default = all columns (always correct);
+    # callers whose schema carries a wide payload (e.g. page text) can
+    # pass a narrow identity set — the salt/sample only need to be
+    # row-granular and deterministic, and hashing kilobytes of text
+    # twice per row is pure waste at 100 TB.
+    hcols = list(hash_cols) if hash_cols else list(df.columns)
     salted = df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in hcols]), F.lit(salt_buckets))
     )
     dtypes = dict(df.dtypes)
     if len(keys) != 1 or dtypes.get(keys[0]) not in _NUMERIC_KEY_TYPES or n < 2:
@@ -223,13 +231,13 @@ def salted_repartition_by_range(
     # could never split it across partitions
     samp = df.filter(
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns], F.lit(1337)),
+            F.xxhash64(*[F.col(c) for c in hcols], F.lit(1337)),
             F.lit(sample_mod),
         )
         == 0
     ).withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hcols]), F.lit(salt_buckets)),
     )
 
     def _collect_composites(src) -> list[int]:

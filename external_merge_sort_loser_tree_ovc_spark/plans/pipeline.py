@@ -126,7 +126,13 @@ def flagship_pipeline(
         batch_rows = max(128, budget // 16)
 
         salted = salted_repartition_by_range(
-            enc, ["morton"], salt_buckets=salt_buckets, num_partitions=n_parts
+            enc,
+            ["morton"],
+            salt_buckets=salt_buckets,
+            num_partitions=n_parts,
+            # row identity for salt/sample hashing: (url, warc_ts) is the
+            # page key — avoids hashing the text payload twice per row
+            hash_cols=["url", "warc_ts", "morton"],
         )
         sorted_df = external_sort_df(
             salted,

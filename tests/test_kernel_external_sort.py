@@ -273,3 +273,19 @@ def test_exact_mode_string_keys_counts(tmp_path):
 
 PIN_STR_EXACT_OVC = 17606
 PIN_STR_EXACT_COL = 1959
+
+
+def test_unsupported_key_type_falls_back_to_collation(tmp_path):
+    """r3: a decimal (or other unsupported) KEY column must degrade to
+    Arrow's typed collation sort, not crash key normalization."""
+    from decimal import Decimal
+
+    rng = np.random.default_rng(9)
+    vals = [Decimal(int(v)) / 100 for v in rng.integers(-10_000, 10_000, 3000)]
+    frame = pd.DataFrame({"d": vals, "v": rng.integers(0, 100, 3000)})
+    out, m = run_sort(tmp_path, frame, ["d", "v"], 500, 100)
+    assert len(out) == 3000
+    exp = frame.sort_values(["d", "v"], kind="stable", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False
+    )
