@@ -67,3 +67,44 @@ def test_sort_matches_pandas_any_geometry(tmp_path_factory, n, domain, mem, batc
         assert out["s"].tolist() == exp["s"].tolist()
         # content preservation (multiset equality incl payload)
         assert sorted(out["payload"]) == list(range(n))
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    a=st.lists(st.integers(0, 30), max_size=60),
+    b=st.lists(st.integers(0, 30), max_size=60),
+)
+def test_merge2_compare_counts_match_sequential_merge(a, b):
+    """The vectorized merge-path counters must equal the literal
+    streaming 2-way merge: one compare per pop while both runs are
+    non-empty; ties go to run A and count as 'col' (code tie)."""
+    from external_merge_sort_loser_tree_ovc_spark.kernel import vmerge
+
+    ka = np.sort(np.asarray(a, dtype=np.uint64))
+    kb = np.sort(np.asarray(b, dtype=np.uint64))
+    pa_, pb_ = vmerge.merge2_positions(ka, kb)
+    got_ovc, got_col = vmerge.merge2_compare_counts(ka, kb, pa_, pb_)
+    # reference simulation
+    i = j = ovc = col = 0
+    while i < len(ka) and j < len(kb):
+        if ka[i] == kb[j]:
+            col += 1
+            i += 1  # tie -> A first
+        elif ka[i] < kb[j]:
+            ovc += 1
+            i += 1
+        else:
+            ovc += 1
+            j += 1
+    assert (got_ovc, got_col) == (ovc, col)
+    # and the merge itself is the stable interleave
+    n = len(ka) + len(kb)
+    out = np.empty(n, dtype=np.uint64)
+    out[pa_] = ka
+    out[pb_] = kb
+    assert (np.sort(np.concatenate([ka, kb])) == out).all()
