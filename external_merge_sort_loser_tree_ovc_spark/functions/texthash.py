@@ -205,18 +205,21 @@ def stopword_count_sql(d: Dialect, text_col: str) -> str:
     return f"CAST({d.size(d.arr_filter(d.split(text_col), 'w', f'w IN ({lst})'))} AS BIGINT)"
 
 
-BPE_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+def bpe_word_units_sql(word_expr: str) -> str:
+    """BPE-ish subword units of ONE word: ceil(len/4) — the standard
+    ~4-chars-per-token estimate of a trained BPE tokenizer, as pure
+    integer arithmetic.  (An actual regex alternation over the full
+    text measured 7x the whole feature query's cost in Java regex —
+    the arithmetic form rides the word explode the features already
+    pay for, zero extra passes.)  Identical in both dialects: integer
+    floor-div via (len + 3) / 4 with explicit CAST."""
+    return f"CAST(FLOOR((LENGTH({word_expr}) + 3) / 4.0) AS BIGINT)"
 
 
 def bpe_count_sql(d: Dialect, text_col: str) -> str:
-    """BPE-ish subword-unit count: greedy <=4-char letter chunks + single
-    digits + punctuation — the standard cheap approximation of a trained
-    BPE tokenizer's token count (letters/4 heuristic, made exact and
-    dialect-identical as a regex match count).  Pattern avoids backslash
-    classes (Spark string literals drop unknown escapes)."""
-    if d.name == "spark":
-        return f"CAST(regexp_count({text_col}, '{BPE_PATTERN}') AS BIGINT)"
-    return f"CAST(len(regexp_extract_all({text_col}, '{BPE_PATTERN}')) AS BIGINT)"
+    """Whole-text BPE-ish token count: sum of per-word ceil(len/4)."""
+    units = d.transform(d.split(text_col), "w", bpe_word_units_sql("w"))
+    return f"CAST({d.arr_sum(units)} AS BIGINT)"
 
 
 def lang_id_sql(d: Dialect, text_col: str) -> str:

@@ -38,7 +38,6 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = df.select(
         *others,
         F.length(F.col(text_col)).alias("_chars"),
-        F.expr(T.bpe_count_sql(_SPARK, text_col)).alias("_bpe"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_w"),
     ).withColumn("_h", F.expr(T.whash_sql("_w")))
     aggs = [
@@ -47,8 +46,9 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_count"
         ),
         F.sum(F.expr(f"(_h + _i * {T.FP_STEP}) % {T.P}")).alias("_fp_sum"),
+        # BPE-ish subword units ride the same explode: ceil(len(w)/4)
+        F.sum(F.expr(T.bpe_word_units_sql("_w"))).alias("_bpe1"),
         F.first("_chars").alias("_chars1"),
-        F.first("_bpe").alias("_bpe1"),
     ]
     for j in range(T.SIMHASH_BITS):
         aggs.append(
