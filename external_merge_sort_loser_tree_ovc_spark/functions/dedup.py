@@ -60,6 +60,34 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def exact_dedup_scale_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Aggregate fingerprint of the SCALE-path exact dedup (group on
+    ``xxhash64(text)`` so the shuffle key is 8 bytes, never the text):
+    (n_groups, n_rows, max_group).  xxhash64 exists only in Spark, so
+    the oracle checks the hash-invariant aggregates — identical values
+    prove the hash grouping partitions rows exactly like text equality
+    (a collision would merge two groups: n_groups drops, max_group
+    grows, the gate fails)."""
+    g = df.groupBy(F.xxhash64(F.col(text_col)).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_group"),
+    )
+
+
+def exact_dedup_scale_oracle_sql(table: str, text_col: str = "text") -> str:
+    return f"""
+WITH g AS (SELECT {text_col} AS t, COUNT(*) AS c FROM {table} GROUP BY {text_col})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_group
+FROM g
+"""
+
+
 def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(survivor_id, dup_count) — xxhash64 is Spark-only, so the oracle
     compares on the survivor set keyed by min-id per text."""

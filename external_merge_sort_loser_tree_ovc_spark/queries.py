@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .functions import texthash as T
 from .functions.dedup import (
     exact_dedup_oracle_sql,
+    exact_dedup_scale_oracle_sql,
+    exact_dedup_scale_stats,
     exact_dedup_survivors,
     minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
@@ -264,6 +266,12 @@ def q_raster_vector(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup_survivors(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_dedup_exact_scale(spark, sf_dir):
+    """The 100 TB exact-dedup shape (8-byte hash shuffle key), verified
+    through hash-invariant aggregates."""
+    return exact_dedup_scale_stats(_read(spark, sf_dir, "documents"))
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -746,6 +754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_raster_vector": q_raster_vector,
     # training-data pipeline
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_exact_scale": q_dedup_exact_scale,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
@@ -795,6 +804,7 @@ ORACLES: dict[str, str] = {
     "q_raster_tiles": _oracle_raster_tiles(),
     "q_raster_vector": _oracle_raster_vector(),
     "q_dedup_exact": exact_dedup_oracle_sql("documents", "doc_id"),
+    "q_dedup_exact_scale": exact_dedup_scale_oracle_sql("documents"),
     "q_dedup_minhash": minhash_lsh_oracle_sql(
         "documents", "doc_id", band_df_cap=DEDUP_BAND_CAP
     ),
