@@ -213,6 +213,10 @@ def ann_topk_cosine(
         x.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("dot", dot)
         .withColumn("norm2", norm2)
+        # a zero-quantized vector has no direction: cosine undefined,
+        # and 0/0 = NaN would sort FIRST under DESC — exclude, oracle
+        # applies the identical predicate
+        .filter(F.col("norm2") > 0)
         .withColumn(
             "_ck",
             (F.signum("dot") * F.col("dot") * F.col("dot")).cast("double")
@@ -256,13 +260,14 @@ d AS (
   FROM qv CROSS JOIN pv
   WHERE qv.query_id <> pv.neighbor_id
 ),
+dnz AS (SELECT * FROM d WHERE norm2 > 0),
 r AS (
   SELECT query_id, neighbor_id, dot, norm2,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY query_id
            ORDER BY CAST(SIGN(dot) * dot * dot AS DOUBLE) / CAST(norm2 AS DOUBLE) DESC,
                     neighbor_id) AS INT) AS rank
-  FROM d
+  FROM dnz
 )
 SELECT * FROM r WHERE rank <= {k}
 """
@@ -355,16 +360,30 @@ def _bucketize_frame(
         uncertain.astype(np.int64) << np.arange(n_planes, dtype=np.int64)[None, :]
     ).sum(axis=1)
     capped = n_unc > max_probe_planes
-    masks = np.arange(1 << n_planes, dtype=np.int64)[None, :]
-    valid = ((masks & ~unc_bits[:, None]) == 0) & ~capped[:, None]
-    ii, cc = np.nonzero(valid)
-    out = pd.DataFrame(
-        {
-            "vid": ids[ii],
-            "bucket": home[ii] ^ masks[0, cc],
-            "e": pdf[vec_col].iloc[ii].to_numpy(),
-        }
-    )
+    under = np.nonzero(~capped)[0]
+    if len(under):
+        # the (n_under, 2^P) validity matrix is built for UNDER-cap rows
+        # only: on near-plane data where every row is over-cap (the
+        # fallback regime) this skips the whole mask computation
+        masks = np.arange(1 << n_planes, dtype=np.int64)[None, :]
+        valid = (masks & ~unc_bits[under, None]) == 0
+        uu, cc = np.nonzero(valid)
+        ii = under[uu]
+        out = pd.DataFrame(
+            {
+                "vid": ids[ii],
+                "bucket": home[ii] ^ masks[0, cc],
+                "e": pdf[vec_col].iloc[ii].to_numpy(),
+            }
+        )
+    else:
+        out = pd.DataFrame(
+            {
+                "vid": np.zeros(0, np.int64),
+                "bucket": np.zeros(0, np.int64),
+                "e": pdf[vec_col].iloc[:0].to_numpy(),
+            }
+        )
     if capped.any():
         fb = pd.DataFrame(
             {
@@ -773,9 +792,13 @@ def ann_ivf(
 
 # --- approximate scale path ---------------------------------------------------
 
+_PLANE_CACHE: dict = {}
+
+
 def _plane_signs(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic ±1 hyperplanes (no RNG: derived from index math so
-    every executor regenerates identical planes).
+    every executor regenerates identical planes).  Memoized per
+    (dim, n_planes) — callers invoke this once per pandas batch.
 
     Signs come from bit 0 of splitmix64(h*dim + i).  The previous
     linear-congruence parity collapsed to ``(i + h) % 2`` — every odd
@@ -783,6 +806,9 @@ def _plane_signs(dim: int, n_planes: int) -> np.ndarray:
     up to global sign (one effective LSH bit; r3 fix).  splitmix64's
     multiply-xorshift avalanche makes the low bit effectively
     independent across (h, i)."""
+    cached = _PLANE_CACHE.get((dim, n_planes))
+    if cached is not None:
+        return cached
     idx = (
         np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(dim)
         + np.arange(dim, dtype=np.uint64)[None, :]
@@ -793,7 +819,9 @@ def _plane_signs(dim: int, n_planes: int) -> np.ndarray:
     z ^= z >> np.uint64(27)
     z *= np.uint64(0x2545F4914F6CDD1D)
     z ^= z >> np.uint64(31)
-    return np.where(z & np.uint64(1) == 0, 1, -1).astype(np.int64)
+    planes = np.where(z & np.uint64(1) == 0, 1, -1).astype(np.int64)
+    _PLANE_CACHE[(dim, n_planes)] = planes
+    return planes
 
 
 def ann_lsh_bucketed(
@@ -890,7 +918,9 @@ def ann_lsh_bucketed(
         ]
     )
     src = vectors.select(id_col, vec_col)
-    bucketed = src.mapInPandas(bucketize, schema=schema).cache()
+    # no cache: after the multi-probe refactor the bucketized table has
+    # exactly one consumer (the join) — a cache would only pin a copy
+    bucketed = src.mapInPandas(bucketize, schema=schema)
     qs = src.filter(F.col(id_col).isin([int(q) for q in query_ids])).mapInPandas(
         probe, schema=probe_schema
     )

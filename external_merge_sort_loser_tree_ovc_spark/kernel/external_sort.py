@@ -382,9 +382,16 @@ class ExternalSorter:
         final_tables = [self._read_run(store, r) for r in store.runs]
         if tail_tbl is not None:
             final_tables.append(tail_tbl)
-        if self.mode == "exact" and self._all_int(final_tables):
+        # the whole-row loser tree (reference semantics: every column is
+        # a key column) is only valid when key_cols IS the whole schema
+        # — runs are sorted by key_cols, and a tree comparing extra
+        # payload columns would assume an order the runs don't have
+        whole_row_key = bool(final_tables) and list(self.key_cols) == list(
+            final_tables[0].schema.names
+        )
+        if self.mode == "exact" and whole_row_key and self._all_int(final_tables):
             yield from self._final_exact(final_tables)
-        elif self.mode == "exact" and self._exact_supported(final_tables):
+        elif self.mode == "exact" and self._exact_keys_supported(final_tables):
             yield from self._final_exact_coded(final_tables)
         else:
             out = (
@@ -395,10 +402,10 @@ class ExternalSorter:
             if out is not None:
                 m.rows_out += out.num_rows
                 yield from self._emit_table(out)
-        if self.mode != "exact":
-            # fast mode: instrumentation comes from the one production
-            # merge path (packed merge-path counts); exact mode keeps the
-            # loser tree's reference-faithful counters set in _final_exact*
+            # instrumentation comes from the one production merge path
+            # (packed merge-path counts) whenever it performed the final
+            # merge — including an exact-mode schema the tree can't code
+            # (exact tree paths overwrite with reference-faithful counts)
             m.ovc_compares = self._cmp.get("ovc", 0)
             m.col_compares = self._cmp.get("col", 0)
         store.commit(
@@ -419,15 +426,20 @@ class ExternalSorter:
             for f in t.schema
         )
 
-    def _exact_supported(self, tables: list[pa.Table]) -> bool:
-        """Exact (counted loser-tree) mode handles any schema whose
-        columns are scalar key types — ints natively, floats/timestamps/
-        bools via order-preserving u64 codes, strings via a global dense
-        rank over the final tables (all in memory at final-merge time)."""
+    def _exact_keys_supported(self, tables: list[pa.Table]) -> bool:
+        """Exact (counted loser-tree) mode handles any KEY columns of
+        scalar type — ints/floats/timestamps/bools via order-preserving
+        u64 codes, strings via a global dense rank over the final tables
+        (all in memory at final-merge time).  Non-key payload columns
+        are carried by gather index and can be anything."""
         from .keys_arrow import _is_scalar_key_type
 
-        return bool(tables) and all(
-            _is_scalar_key_type(f.type) for t in tables for f in t.schema
+        if not tables:
+            return False
+        schema = tables[0].schema
+        return all(
+            c in schema.names and _is_scalar_key_type(schema.field(c).type)
+            for c in self.key_cols
         )
 
     def _final_exact(self, tables: list[pa.Table]):
@@ -472,50 +484,46 @@ class ExternalSorter:
         self.metrics.col_compares = tree.col_compares
 
     def _final_exact_coded(self, tables: list[pa.Table]):
-        """Counted loser-tree final merge for schemas with non-integer
-        columns (strings/floats/timestamps) — the round-2 gap where
-        exact mode silently fell back for any string key.
+        """Counted loser-tree final merge for key columns beyond the
+        all-int whole-row case — the round-2 gap where exact mode
+        silently fell back for any string key.
 
-        The whole row is the key (reference semantics): every column is
-        mapped to an order-preserving int64 code — numerics/timestamps
-        through the same u64 normalization the fast path uses, strings
-        through a global dense rank over the final tables (legal here:
-        all final runs are materialized for the merge anyway).  A global
+        Each KEY column (only the key columns — the runs are sorted by
+        exactly those) is mapped to an order-preserving int64 code:
+        numerics/timestamps through the same u64 normalization the fast
+        path uses, strings through a global dense rank over the final
+        tables (``keys_arrow._string_rank_codes`` — legal here: all
+        final runs are materialized for the merge anyway).  A global
         row-index column is appended as the last key column: it breaks
-        full-row ties deterministically AND doubles as the gather index
-        mapping merged code-rows back to the original Arrow rows.
+        key ties deterministically (runs are key-sorted, so (key, index)
+        is sorted within every run) AND doubles as the gather index
+        mapping merged code-rows back to the original Arrow rows,
+        payload columns included.
         """
-        from .keys_arrow import _is_stringish, normalize_arrow_column
+        from .keys_arrow import (
+            _is_stringish,
+            _string_rank_codes,
+            normalize_arrow_column,
+        )
 
         big = pa.concat_tables(tables, promote_options="default")
         n = big.num_rows
         if n == 0:
             return
         cols: list[np.ndarray] = []
-        for name in big.schema.names:
+        for name in self.key_cols:
             col = big.column(name)
             if _is_stringish(col.type):
-                comb = col.combine_chunks()
-                arr = comb.chunk(0) if isinstance(comb, pa.ChunkedArray) else comb
-                denc = pc.dictionary_encode(arr)
-                dct = denc.dictionary
-                order = pc.sort_indices(dct).to_numpy(zero_copy_only=False)
-                rank = np.empty(len(dct), dtype=np.int64)
-                rank[order] = np.arange(len(dct), dtype=np.int64)
-                idx = pc.fill_null(denc.indices, 0).to_numpy(zero_copy_only=False)
-                codes = rank[idx.astype(np.int64)]
-                if arr.null_count:
-                    isnull = np.asarray(pc.is_null(arr))
-                    codes = np.where(isnull, np.int64(-1), codes)  # nulls first
-                cols.append(codes)
+                nk = _string_rank_codes(col)
+                codes = nk.codes.astype(np.int64)  # dense ranks: small ints
             else:
                 nk = normalize_arrow_column(col)
                 # u64 -> order-preserving int64 (shift by 2^63)
                 codes = (nk.codes ^ np.uint64(1 << 63)).view(np.int64)
-                if nk.isnull is not None:
-                    cols.append((~nk.isnull).astype(np.int64))  # null flag first
-                    codes = np.where(nk.isnull, np.int64(np.iinfo(np.int64).min), codes)
-                cols.append(codes)
+            if nk.isnull is not None:
+                cols.append((~nk.isnull).astype(np.int64))  # null flag: 0 first
+                codes = np.where(nk.isnull, np.int64(0), codes)
+            cols.append(codes)
         cols.append(np.arange(n, dtype=np.int64))  # gather index / final tiebreak
         mat = np.column_stack(cols)
         bounds = np.cumsum([0] + [t.num_rows for t in tables])

@@ -289,3 +289,22 @@ def test_unsupported_key_type_falls_back_to_collation(tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp, check_dtype=False
     )
+
+
+def test_exact_mode_subset_keys_sorted(tmp_path):
+    """r3 review fix: exact mode with key_cols a SUBSET (or reordering)
+    of the schema must sort by the keys only — the whole-row tree would
+    assume payload order the runs don't have."""
+    rng = np.random.default_rng(21)
+    frame = pd.DataFrame(
+        {
+            "payload": [f"p{v}" for v in rng.integers(0, 1000, 4000)],
+            "k": rng.integers(0, 40, 4000),
+        }
+    )
+    out, m = run_sort(tmp_path, frame, ["k"], 600, 100, mode="exact")
+    assert m.mode == "exact"
+    assert (np.diff(out["k"].to_numpy()) >= 0).all(), "not sorted by k"
+    # multiset preserved
+    assert sorted(out["payload"]) == sorted(frame["payload"])
+    assert m.ovc_compares > 0
