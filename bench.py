@@ -124,12 +124,20 @@ def run_default() -> dict:
     # drop DataFrame caches left by the query sweep (q_ann_lsh etc.) so
     # the flagship's own persist isn't fighting a full storage pool
     spark.catalog.clearCache()
+    # best-of-2, plus a third attempt when the first two disagree by
+    # >1.5x (the flagship's shuffle+spill stage shows 2-3x run-to-run
+    # variance under neighbour load; one extra attempt bounds the odds
+    # of recording a contended tail as the headline)
     fm = None
-    for _ in range(2):  # best-of-2, same rationale as the query sweep
+    attempts: list[float] = []
+    for i in range(3):
+        if i == 2 and max(attempts) <= 1.5 * min(attempts):
+            break
         pages = synth_pages(spark, n_pages)
         t0 = time.perf_counter()
         m = flagship_pipeline(spark, pages, num_partitions=CPUS)
         dt = round(time.perf_counter() - t0, 3)
+        attempts.append(dt)
         if fm is None or dt < times["flagship_pipeline"]:
             times["flagship_pipeline"] = dt
             fm = m
