@@ -131,3 +131,16 @@ def test_text_extract_stays_codegen(spark):
     plan = plan_of(extract_text(pages, "html"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_cosine_plan_pure_jvm(spark):
+    """q_ann_cosine's 100 TB contracts: zero Python in the hot path
+    (no PythonUDF / MapInPandas / ArrowEvalPython) and the tiny query
+    block broadcast against the big side."""
+    from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q_ann_cosine"](spark, SF))
+    assert "PythonUDF" not in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Broadcast" in plan  # query block is broadcast, big side streams
