@@ -501,6 +501,29 @@ def q_outer_join(spark, sf_dir):
     )
 
 
+def q_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI joins — the existence-test physical
+    operators (distinct from inner/outer: no right-side columns, no
+    duplicate blowup).  Scale shape: the probe side (suppliers with
+    open-order lineitems) reduces to a DISTINCT key set that Spark
+    broadcasts; the customer side never shuffles."""
+    li_sup = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_suppkey").alias("k"))
+    )
+    sup = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.expr(_cents("s_acctbal")).alias("bal_c")
+    )
+    semi = sup.join(li_sup, sup.s_suppkey == li_sup.k, "left_semi").select(
+        F.lit("has_bulk").alias("side"), "s_suppkey", "s_nationkey", "bal_c"
+    )
+    anti = sup.join(li_sup, sup.s_suppkey == li_sup.k, "left_anti").select(
+        F.lit("no_bulk").alias("side"), "s_suppkey", "s_nationkey", "bal_c"
+    )
+    return semi.unionByName(anti)
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-bucketed agg over the events stream table."""
     ev = _read(spark, sf_dir, "events")
@@ -775,6 +798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_topk": q_window_topk,
     "q_window_funcs": q_window_funcs,
     "q_outer_join": q_outer_join,
+    "q_semi_anti_join": q_semi_anti_join,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_rollup_revenue": q_rollup_revenue,
@@ -836,6 +860,17 @@ SELECT o_custkey, o_orderkey,
        LEAD(o_orderkey, 1) OVER w AS next_ok
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    "q_semi_anti_join": """
+WITH ks AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+sup AS (SELECT s_suppkey, s_nationkey,
+               CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        FROM supplier)
+SELECT 'has_bulk' AS side, s_suppkey, s_nationkey, bal_c
+FROM sup WHERE s_suppkey IN (SELECT k FROM ks)
+UNION ALL
+SELECT 'no_bulk' AS side, s_suppkey, s_nationkey, bal_c
+FROM sup WHERE s_suppkey NOT IN (SELECT k FROM ks)
 """,
     "q_outer_join": f"""
 WITH counts AS (
