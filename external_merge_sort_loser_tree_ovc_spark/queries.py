@@ -568,6 +568,63 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_cube_events(spark, sf_dir):
+    """CUBE grouping (all 4 grouping-set combinations) over the events
+    table — the expand-based aggregation shape beyond ROLLUP; null
+    group keys coalesced for hash stability."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .cube("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_cents("value"))).alias("value_c"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("hr"), F.lit(-1)).cast("int").alias("hr"),
+            "n",
+            "value_c",
+        )
+    )
+
+
+def q_pivot_revenue(spark, sf_dir):
+    """PIVOT: order-priority columns per month — the wide-aggregation
+    shape (one row per group, one column per pivoted key).  The oracle
+    expresses the identical result as CASE aggregates, so the gate
+    checks the pivot semantics, not a dialect keyword."""
+    o = _read(spark, sf_dir, "orders").withColumn(
+        "mo", F.month("o_orderdate")
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pv = (
+        o.groupBy("mo")
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum(F.expr(_cents("o_totalprice"))))
+    )
+    cols = [F.col("mo").cast("int").alias("mo")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i+1}")
+        for i, p in enumerate(prios)
+    ]
+    return pv.select(*cols)
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact ordered-set aggregates: median / p90 order price per
+    priority.  percentile_cont with linear interpolation is exact
+    rational arithmetic on the sorted set — identical in both engines;
+    results emitted as integer cents."""
+    o = _read(spark, sf_dir, "orders")
+    med = F.expr("percentile(o_totalprice, 0.5)")
+    p90 = F.expr("percentile(o_totalprice, 0.9)")
+    return o.groupBy("o_orderpriority").agg(
+        F.floor(med * 100 + 0.5).cast("bigint").alias("median_c"),
+        F.floor(p90 * 100 + 0.5).cast("bigint").alias("p90_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set operations: customers with orders INTERSECT high-balance,
     then EXCEPT a segment — distinct-set semantics in both engines."""
@@ -802,6 +859,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_events": q_cube_events,
+    "q_pivot_revenue": q_pivot_revenue,
+    "q_percentiles": q_percentiles,
     "q_set_ops": q_set_ops,
     "q_string_date_funcs": q_string_date_funcs,
 }
@@ -883,6 +943,32 @@ FROM customer FULL OUTER JOIN counts ON c_custkey = o_custkey
 """,
     "q_events_hourly": _oracle_events_hourly(),
     "q_events_sessions": _oracle_events_sessions(),
+    "q_cube_events": f"""
+SELECT COALESCE(event_type, 'ALL') AS etype,
+       CAST(COALESCE(EXTRACT(hour FROM ts), -1) AS INTEGER) AS hr,
+       COUNT(*) AS n,
+       CAST(SUM({_cents('value')}) AS BIGINT) AS value_c
+FROM events
+GROUP BY CUBE (event_type, EXTRACT(hour FROM ts))
+""",
+    "q_pivot_revenue": f"""
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN {_cents('o_totalprice')} END), 0) AS BIGINT) AS p1,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN {_cents('o_totalprice')} END), 0) AS BIGINT) AS p2,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN {_cents('o_totalprice')} END), 0) AS BIGINT) AS p3,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN {_cents('o_totalprice')} END), 0) AS BIGINT) AS p4,
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN {_cents('o_totalprice')} END), 0) AS BIGINT) AS p5
+FROM orders
+GROUP BY 1
+""",
+    "q_percentiles": """
+SELECT o_orderpriority,
+       CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT) AS median_c,
+       CAST(FLOOR(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT) AS p90_c,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
     "q_rollup_revenue": f"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM({_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS rev_c,
