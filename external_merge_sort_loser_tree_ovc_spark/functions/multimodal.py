@@ -468,3 +468,158 @@ def frame_sample(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+# --- REAL decode path: YUV4MPEG2 (y4m) raw video + frame sampling --------------
+#
+# YUV4MPEG2 is a real, public, uncompressed video container (header
+# line + 'FRAME\n'-delimited raw planes) that needs no codec library,
+# so the full pipeline — synthesize payload bytes -> parse the header
+# -> walk FRAME markers -> slice Y/U/V planes -> sample every 2nd
+# frame -> integer statistics — runs for REAL and is oracle-gated,
+# upgrading the round-2 video stub the same way PPM/WAV did for
+# image/audio.
+#
+# Synthetic video law (shared with the SQL oracle): video for id has
+#   w = 4 + id % 8, h = 2 + id % 5, n_frames = 3 + id % 6
+#   Y(x, ., f) = base + 5*f + x,  base = (id * 13) % 180   (max 224: no wrap)
+#   U(...) = (id * 7) % 200 constant; V(...) = (id * 17) % 200 constant
+# Sampling frames f = 0, 2, 4, ... (s = ceil(n_frames/2) kept):
+#   sum(Y over sampled) = s*w*h*base + 5*w*h*s*(s-1) + s*h*w*(w-1)/2
+# (sum of sampled f = 0+2+...+2(s-1) = s*(s-1)) — closed form in id.
+
+_Y4M_BASE_MOD = 180
+
+
+def synth_y4m(ids: np.ndarray) -> list[bytes]:
+    """Deterministic YUV4MPEG2 C444 payloads (real header + frames)."""
+    out = []
+    for i in ids:
+        i = int(i)
+        w, h, nf = 4 + i % 8, 2 + i % 5, 3 + i % 6
+        base = (i * 13) % _Y4M_BASE_MOD
+        u = np.full(w * h, (i * 7) % 200, dtype=np.uint8)
+        v = np.full(w * h, (i * 17) % 200, dtype=np.uint8)
+        buf = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)]
+        for f in range(nf):
+            y = (base + 5 * f + np.tile(np.arange(w), h)).astype(np.uint8)
+            buf.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+        out.append(b"".join(buf))
+    return out
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse a YUV4MPEG2 C444 stream: returns (w, h, frames) with each
+    frame = (Y, U, V) uint8 arrays of length w*h."""
+    import re
+
+    m = re.match(rb"YUV4MPEG2 ([^\n]*)\n", payload)
+    if m is None:
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = dict(
+        (p[:1], p[1:]) for p in m.group(1).split(b" ") if p
+    )
+    w, h = int(params[b"W"]), int(params[b"H"])
+    plane = w * h
+    frames = []
+    pos = m.end()
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad FRAME marker")
+        pos += 6
+        raw = np.frombuffer(payload[pos : pos + 3 * plane], dtype=np.uint8)
+        frames.append((raw[:plane], raw[plane : 2 * plane], raw[2 * plane :]))
+        pos += 3 * plane
+    return w, h, frames
+
+
+Y4M_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("y_sum", LongType()),
+        StructField("u_val", LongType()),
+        StructField("v_val", LongType()),
+    ]
+)
+
+
+def sample_y4m_media(
+    df: DataFrame, bin_col: str, id_col: str, *, every_n: int = 2
+) -> DataFrame:
+    """REAL video frame-sampling: parse the y4m container, keep every
+    ``every_n``-th frame, integer-exact Y-plane sum over the SAMPLED
+    frames plus the (constant) chroma values — each verified against
+    the closed-form oracle (a wrong frame stride, plane order, or
+    plane size cannot match it)."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, payload in zip(
+                pdf[id_col].to_numpy(dtype=np.int64), pdf[bin_col]
+            ):
+                w, h, frames = decode_y4m(bytes(payload))
+                sampled = frames[::every_n]
+                y_sum = int(
+                    sum(int(y.astype(np.int64).sum()) for y, _u, _v in sampled)
+                )
+                u_val = int(sampled[0][1][0]) if sampled else -1
+                v_val = int(sampled[0][2][0]) if sampled else -1
+                rows.append(
+                    (int(i), w, h, len(frames), len(sampled), y_sum, u_val, v_val)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "n_sampled",
+                    "y_sum", "u_val", "v_val",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=Y4M_SAMPLE_SCHEMA)
+
+
+def with_synth_y4m(df: DataFrame, id_col: str, out_col: str = "y4m") -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField(out_col, BinaryType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({"media_id": ids, out_col: synth_y4m(ids)})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def y4m_sample_oracle_sql(table: str, id_col: str) -> str:
+    """Closed-form prediction of the frame-sampled decode from the id
+    alone — the oracle never touches bytes."""
+    w = f"(4 + {id_col} % 8)"
+    h = f"(2 + {id_col} % 5)"
+    nf = f"(3 + {id_col} % 6)"
+    s = f"(({nf} + 1) // 2)"
+    base = f"(({id_col} * 13) % {_Y4M_BASE_MOD})"
+    y_sum = (
+        f"({s} * {w} * {h} * {base} + 5 * {w} * {h} * {s} * ({s} - 1)"
+        f" + {s} * {h} * ({w} * ({w} - 1) // 2))"
+    )
+    return f"""
+SELECT {id_col} AS media_id,
+       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       CAST({nf} AS INT) AS n_frames, CAST({s} AS INT) AS n_sampled,
+       CAST({y_sum} AS BIGINT) AS y_sum,
+       CAST(({id_col} * 7) % 200 AS BIGINT) AS u_val,
+       CAST(({id_col} * 17) % 200 AS BIGINT) AS v_val
+FROM {table}
+"""

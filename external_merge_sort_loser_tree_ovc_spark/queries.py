@@ -47,9 +47,12 @@ from .functions.multimodal import (
     ppm_decode_oracle_sql,
     resize_ppm_media,
     resize_ppm_oracle_sql,
+    sample_y4m_media,
     wav_decode_oracle_sql,
     with_synth_ppm,
     with_synth_wav,
+    with_synth_y4m,
+    y4m_sample_oracle_sql,
 )
 from .functions.similarity import (
     ann_ivf,
@@ -361,6 +364,15 @@ def q_multimodal_resize(spark, sf_dir):
     integer-exact channel sums of the resized pixels vs closed form."""
     docs = _read(spark, sf_dir, "documents")
     return resize_ppm_media(with_synth_ppm(docs, "doc_id"), "ppm", "media_id")
+
+
+def q_multimodal_video(spark, sf_dir):
+    """REAL video frame-sampling: YUV4MPEG2 container synthesized with
+    real bytes, parsed for real (header + FRAME walk + plane slices),
+    every-2nd-frame sample, integer stats vs a closed-form oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    vids = with_synth_y4m(docs, "doc_id")
+    return sample_y4m_media(vids, "y4m", "media_id")
 
 
 _HTML_PRE = (
@@ -848,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_audio": q_multimodal_audio,
     "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_video": q_multimodal_video,
     "q_text_extract": q_text_extract,
     # relational built-ins
     "q_tpch_q1": q_tpch_q1,
@@ -907,6 +920,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_decode": ppm_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_audio": wav_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_resize": resize_ppm_oracle_sql("documents", "doc_id"),
+    "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_tpch_q1": _oracle_tpch_q1(),
     "q_revenue_by_nation": _oracle_revenue_by_nation(),
