@@ -437,9 +437,11 @@ FROM {table}
 def frame_sample(
     df: DataFrame, bin_col: str, id_col: str, *, every_n: int = 10, allow_fake: bool = False
 ) -> DataFrame:
-    """Video frame-sampling stub: emits one row per sampled 'frame'
-    (deterministic count = n_bytes // (64 * every_n) + 1). Real impl:
-    ffmpeg seek + decode every_n-th frame."""
+    """COMPRESSED-video frame-sampling stub: emits one row per sampled
+    'frame' (deterministic count = n_bytes // (64 * every_n) + 1).
+    Real impl: ffmpeg seek + decode every_n-th frame.  For RAW video
+    the REAL, oracle-gated path is ``sample_y4m_media`` below — this
+    stub remains only for codec formats that need ffmpeg."""
     if not allow_fake:
         raise NotImplementedError("no video decoder in this container")
     schema = StructType(
