@@ -256,6 +256,50 @@ def run_scaling(levels: list[int], n_pages: int, repeat: int = 3) -> dict:
     }
 
 
+_MEMBW_WORKER = r"""
+import numpy as np, time
+a = np.ones((1 << 23), dtype=np.float64)  # 64 MiB
+b = np.empty_like(a)
+t0 = time.perf_counter(); moved = 0
+while time.perf_counter() - t0 < 6.0:
+    np.copyto(b, a); moved += a.nbytes * 2
+print(moved / (time.perf_counter() - t0))
+"""
+
+
+def run_membw_scaling(levels: list[int], repeat: int = 2) -> dict:
+    """Hardware attribution probe: aggregate memcpy bandwidth of N
+    independent processes.  Establishes the ceiling ANY memory-bound
+    stage inherits on this box (see BASELINE.md round-3 scaling) —
+    a real cluster adds this per-node resource with every executor."""
+    results = {}
+    for nproc in levels:
+        best = 0.0
+        for _ in range(repeat):
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, "-c", _MEMBW_WORKER],
+                    stdout=subprocess.PIPE, text=True,
+                )
+                for _ in range(nproc)
+            ]
+            tot = 0.0
+            for p in procs:
+                out, _ = p.communicate()
+                tot += float(out.strip().splitlines()[-1])
+            best = max(best, tot / 1e9)
+        results[nproc] = best
+    lo, hi = min(levels), max(levels)
+    eff = results[hi] / (results[lo] * (hi / lo))
+    return {
+        "metric": f"aggregate memcpy bandwidth scaling {lo} -> {hi} procs",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "gb_per_sec": {str(k): round(v, 1) for k, v in results.items()},
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 def _kernel_worker_main(rows: int, out_path: str):
     """One executor-analogue process: exact-mode kernel sort of a fixed
     seeded fixture, spill on tmpfs; writes compares+seconds JSON."""
@@ -340,6 +384,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", type=str, default=None, help="e.g. 2,8 or 8,32")
     ap.add_argument("--kernel-scaling", type=str, default=None, help="e.g. 2,8")
+    ap.add_argument("--membw", type=str, default=None, help="e.g. 8,32")
     ap.add_argument("--kernel-worker", nargs=2, default=None)
     ap.add_argument("--rows", type=int, default=500_000)
     ap.add_argument("--pages", type=int, default=2_000_000)
@@ -354,6 +399,10 @@ def main():
     if args.kernel_scaling:
         levels = [int(x) for x in args.kernel_scaling.split(",")]
         print(json.dumps(run_kernel_scaling(levels, args.rows, args.repeat)))
+        return
+    if args.membw:
+        levels = [int(x) for x in args.membw.split(",")]
+        print(json.dumps(run_membw_scaling(levels)))
         return
 
     if args.flagship_only:
