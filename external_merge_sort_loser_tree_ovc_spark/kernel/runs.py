@@ -6,8 +6,8 @@ Plays the role of the reference's ``HDD`` (reference ``HDD.h:8-31``):
   first (reference ``HDD.cpp:14-27``, ``README.md:9``),
 - ``spill_rows`` counts every row ever written to the store (reference
   ``HDD.cpp:83-90``),
-- unlike the reference's in-process vectors, runs are real zstd Arrow
-  IPC files on local disk (the executor-local spill path at cluster scale),
+- unlike the reference's in-process vectors, runs are real compressed
+  Arrow IPC files on local disk (lz4 default, SPARK_GRAFT_RUN_CODEC) (the executor-local spill path at cluster scale),
 - the manifest is a JSON checkpoint committed by atomic rename; a
   partition that died mid-merge resumes from the last committed state
   instead of re-reading its input (the north_rule's "resumable from
@@ -52,13 +52,16 @@ class RunStore:
         self.next_seq += 1
         path = os.path.join(self.root, f"run-{seq:06d}-{uuid.uuid4().hex}.arrow")
         tmp = path + ".tmp"
-        # zstd cuts run-file bytes ~2.3x vs lz4 on text-heavy rows
-        # (measured: 5.9 -> 2.5 MB per 30k pages) for ~10-40% more codec
-        # CPU: spill bandwidth is the resource that does NOT scale with
-        # cores on one box (BASELINE.md memcpy probe), while codec CPU
-        # parallelizes perfectly — the right trade at every scale, and a
-        # real cluster's disks are precious too.
-        opts = ipc.IpcWriteOptions(compression="zstd")
+        # codec choice, measured on text-heavy pages (see BASELINE.md):
+        # lz4 decodes ~5x cheaper and wins when every core is busy
+        # (32-way flagship best: lz4 11.2s vs zstd 17.0s sort); zstd
+        # writes ~2.3x fewer bytes (5.9 -> 2.5 MB per 30k pages) and
+        # won the bandwidth-starved low-core runs (best 2->8 scaling
+        # 0.698, local[8] 273k pages/s).  Default lz4 (CPU is usually
+        # the binding resource at full executor occupancy); deployments
+        # whose disks/bus are the bottleneck flip SPARK_GRAFT_RUN_CODEC.
+        codec = os.environ.get("SPARK_GRAFT_RUN_CODEC", "lz4")
+        opts = ipc.IpcWriteOptions(compression=codec)
         with ipc.new_file(tmp, table.schema, options=opts) as w:
             w.write_table(table)
         os.rename(tmp, path)
