@@ -447,7 +447,12 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
         return bucketize
 
     src = vectors.select(id_col, vec_col)
-    home_df = src.mapInPandas(make_bucketizer(False), schema=bucket_schema)
+    # home_df feeds BOTH the equi-join and the over-cap fallback
+    # cross-join below — persist it so the whole-table quantize+project
+    # mapInPandas pass runs once per action, not once per consumer
+    # (even an empty fallback band still scans its input to prove it
+    # empty)
+    home_df = src.mapInPandas(make_bucketizer(False), schema=bucket_schema).persist()
     probe_df = src.mapInPandas(make_bucketizer(True), schema=bucket_schema).select(
         F.col("vid").alias("pvid"), "bucket", F.col("e").alias("pe")
     )

@@ -161,6 +161,13 @@ class ExternalSorter:
     memory_budget_rows: int = 1 << 20
     batch_rows: int = 1 << 16
     mode: str = "fast"            # "fast" | "exact" (loser tree w/ counters)
+    # Output batch size.  ``batch_rows`` sets only the merge GEOMETRY
+    # (fan-in = budget/batch - 1, reference B = M/page - 1); emitted
+    # batches are sliced at ``emit_rows`` (default: max(batch_rows,
+    # 8192) so tiny geometry pages don't flood the downstream Arrow
+    # stream with micro-batches).  Callers that size per-batch memory
+    # downstream should set emit_rows explicitly.
+    emit_rows: int | None = None
     # When True, the final partial buffer is ALSO spilled before the run
     # manifest commits, so the checkpoint covers every input row and a
     # retried task can rebuild its output WITHOUT repeating the merge
@@ -549,11 +556,10 @@ class ExternalSorter:
 
     # -- emission ---------------------------------------------------------------
     def _emit_table(self, table: pa.Table):
-        # emission slices are decoupled from batch_rows: batch_rows sets
-        # the merge GEOMETRY (fan-in = budget/batch - 1, reference
-        # B = M/page - 1), but tiny geometry pages would push thousands
-        # of micro-batches into the downstream Arrow stream
-        step = max(self.batch_rows, 8192)
+        # emission slices are decoupled from batch_rows (see emit_rows
+        # field doc): geometry pages can be tiny without pushing
+        # thousands of micro-batches into the downstream Arrow stream
+        step = self.emit_rows if self.emit_rows else max(self.batch_rows, 8192)
         for i in range(0, table.num_rows, step):
             yield table.slice(i, step)
 

@@ -84,6 +84,14 @@ def flagship_pipeline(
     # whole key into one uint64 -> every production merge is single-
     # machine-integer compares (the OVC thesis, reference README.md:4-5)
     # WITH counters.  Deterministic (hash of content, no RNG).
+    # ORDER CONTRACT: the output is totally ordered by (morton, urlh),
+    # NOT by (morton, url) — distinct urls collide in the 40-bit hash
+    # with ~n^2/2^41 probability per morton cell, and colliding rows tie
+    # on the full packed key, so their relative order is run-formation
+    # arrival order.  The witness checks multiset parity + sortedness of
+    # the packed key, which is exactly what holds.  Consumers needing a
+    # total deterministic order must add a second null-free 64-bit key
+    # column instead of widening this one.
     enc = enc.select(
         "url", "warc_ts", "text", "lang", "lat", "lon", "cell", "morton"
     ).withColumn("urlh", F.shiftrightunsigned(F.xxhash64("url"), 24))

@@ -624,15 +624,40 @@ def q_pivot_revenue(spark, sf_dir):
 
 def q_percentiles(spark, sf_dir):
     """Exact ordered-set aggregates: median / p90 order price per
-    priority.  percentile_cont with linear interpolation is exact
-    rational arithmetic on the sorted set — identical in both engines;
-    results emitted as integer cents."""
-    o = _read(spark, sf_dir, "orders")
-    med = F.expr("percentile(o_totalprice, 0.5)")
-    p90 = F.expr("percentile(o_totalprice, 0.9)")
-    return o.groupBy("o_orderpriority").agg(
-        F.floor(med * 100 + 0.5).cast("bigint").alias("median_c"),
-        F.floor(p90 * 100 + 0.5).cast("bigint").alias("p90_c"),
+    priority, in PURE INTEGER arithmetic.  Engine percentile functions
+    interpolate in double with dialect-different formulas (Spark:
+    lower*(hi-pos)+higher*(pos-lower); DuckDB: lower+(hi-lower)*frac) —
+    a 1-ulp gap can flip a rounding, so neither appears here.  Instead
+    the discrete lower/upper order statistics are selected by integer
+    rank over integer CENTS and interpolated with exact integer
+    weights: median_x2_c = v_lo + v_hi (2x median, frac is k/2) and
+    p90_x10_c = v_lo*(10-r) + v_hi*r with r = ((n-1)*9) mod 10 (10x
+    p90, frac is r/10).  Every value is a bigint in both engines —
+    bit-identical at any scale factor by construction."""
+    o = _read(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", f"{_cents('o_totalprice')} AS v"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("v")
+    wp = Window.partitionBy("o_orderpriority")
+    c = o.withColumn("rn", F.row_number().over(w) - F.lit(1)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    # per-row contribution expressions; when the position is integral
+    # the lo and hi cases hit the SAME row and the weights still sum
+    # correctly (median odd-n: v+v = 2v; p90 r=0: v*10 + v*0)
+    med_expr = (
+        "CASE WHEN rn = (n-1) DIV 2 THEN v ELSE 0 END"
+        " + CASE WHEN rn = n DIV 2 THEN v ELSE 0 END"
+    )
+    p90_expr = (
+        "CASE WHEN rn = ((n-1)*9) DIV 10 THEN v*(10-((n-1)*9)%10) ELSE 0 END"
+        " + CASE WHEN rn = ((n-1)*9) DIV 10"
+        "        + (CASE WHEN ((n-1)*9)%10 > 0 THEN 1 ELSE 0 END)"
+        "   THEN v*(((n-1)*9)%10) ELSE 0 END"
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.sum(F.expr(med_expr)).cast("bigint").alias("median_x2_c"),
+        F.sum(F.expr(p90_expr)).cast("bigint").alias("p90_x10_c"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -975,12 +1000,23 @@ SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
 FROM orders
 GROUP BY 1
 """,
-    "q_percentiles": """
+    "q_percentiles": f"""
+WITH c AS (
+  SELECT o_orderpriority,
+         {_cents('o_totalprice')} AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {_cents('o_totalprice')}) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
 SELECT o_orderpriority,
-       CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT) AS median_c,
-       CAST(FLOOR(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT) AS p90_c,
+       CAST(SUM(CASE WHEN rn = (n-1)//2 THEN v ELSE 0 END
+              + CASE WHEN rn = n//2 THEN v ELSE 0 END) AS BIGINT) AS median_x2_c,
+       CAST(SUM(CASE WHEN rn = ((n-1)*9)//10 THEN v*(10-((n-1)*9)%10) ELSE 0 END
+              + CASE WHEN rn = ((n-1)*9)//10
+                          + (CASE WHEN ((n-1)*9)%10 > 0 THEN 1 ELSE 0 END)
+                     THEN v*(((n-1)*9)%10) ELSE 0 END) AS BIGINT) AS p90_x10_c,
        COUNT(*) AS n
-FROM orders
+FROM c
 GROUP BY o_orderpriority
 """,
     "q_rollup_revenue": f"""
