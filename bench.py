@@ -106,6 +106,11 @@ def run_default() -> dict:
     from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
     from external_merge_sort_loser_tree_ovc_spark.sources.pages import synth_pages
 
+    # contention stamps bracket the sweep: membw_gbps_pre/post record the
+    # box's aggregate memcpy bandwidth (8 procs) at sweep start and end
+    # so a slow window is attributable — idle-box reference values live
+    # in BASELINE.md's membw table
+    membw_pre = membw_probe()
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, SF_DIR)
@@ -158,8 +163,10 @@ def run_default() -> dict:
         "spill_rows": fm["spill_rows"],
         "runs_formed": fm["runs_formed"],
         "cpus": CPUS,
+        "membw_gbps_pre": round(membw_pre, 1),
     }
     spark.stop()
+    doc["membw_gbps_post"] = round(membw_probe(), 1)
     return doc
 
 
@@ -257,14 +264,38 @@ def run_scaling(levels: list[int], n_pages: int, repeat: int = 3) -> dict:
 
 
 _MEMBW_WORKER = r"""
-import numpy as np, time
+import sys, numpy as np, time
+dur = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
 a = np.ones((1 << 23), dtype=np.float64)  # 64 MiB
 b = np.empty_like(a)
 t0 = time.perf_counter(); moved = 0
-while time.perf_counter() - t0 < 6.0:
+while time.perf_counter() - t0 < dur:
     np.copyto(b, a); moved += a.nbytes * 2
 print(moved / (time.perf_counter() - t0))
 """
+
+
+def membw_probe(nproc: int = 8, dur: float = 6.0) -> float:
+    """One-shot contention stamp: aggregate memcpy GB/s of ``nproc``
+    independent processes right now.  On an idle box this is a stable
+    hardware number (see BASELINE.md membw table; keep dur=6.0 to stay
+    comparable with it — short probes under-read while first-touch page
+    faults amortize: 28 GB/s at 1.5 s vs 65 at 6 s, measured).  A
+    materially lower reading than the table means neighbours are on the
+    bus and the per-query times of that window measure contention, not
+    the engine."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MEMBW_WORKER, str(dur)],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for _ in range(nproc)
+    ]
+    tot = 0.0
+    for p in procs:
+        out, _ = p.communicate()
+        tot += float(out.strip().splitlines()[-1])
+    return tot / 1e9
 
 
 def run_membw_scaling(levels: list[int], repeat: int = 2) -> dict:

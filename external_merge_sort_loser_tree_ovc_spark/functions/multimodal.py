@@ -3,19 +3,22 @@
 Images, audio, and video ride as opaque ``binary`` columns with typed
 metadata.
 
-REAL decode path: PPM (P6) images — a complete container format that
-needs no external libraries, so the full pipeline (synthesize payload
-bytes -> parse header -> reinterpret the pixel buffer -> per-channel
-statistics) runs for real and is ORACLE-GATED: the synthetic images are
-x-gradients whose channel means have a closed form in the image id, so
-DuckDB predicts what a correct decode must produce without ever seeing
-the bytes (``q_multimodal_decode``).
+REAL decode paths — complete container formats that need no external
+libraries, so the full pipeline (synthesize payload bytes -> parse ->
+reconstruct samples -> statistics) runs for real and is ORACLE-GATED
+(the synthetic media follow closed-form laws in the id, so DuckDB
+predicts what a correct decode must produce without seeing bytes):
+  - PPM (P6) images            ``q_multimodal_decode`` / ``_resize``
+  - PNG (zlib + all 5 filters) ``q_multimodal_png``
+  - RIFF/WAVE PCM16 audio      ``q_multimodal_audio``
+  - YUV4MPEG2 raw video        ``q_multimodal_video``
 
-Stub paths: JPEG/PNG/video decode libraries (PIL/ffmpeg) are NOT in
-this container, so those steps remain clearly-marked deterministic
-fakes behind ``allow_fake=True`` — the Spark-side plumbing (schema,
-Arrow batch shape, ``mapInPandas`` signature, partitioning) is real and
-tested, and ``media_metadata`` has a bytes-arithmetic DuckDB oracle.
+Stub path: JPEG (the one format whose entropy decode genuinely needs a
+codec library not in this container) remains a clearly-marked
+deterministic fake behind ``allow_fake=True`` — the Spark-side plumbing
+(schema, Arrow batch shape, ``mapInPandas`` signature, partitioning) is
+real and tested, and ``media_metadata`` has a bytes-arithmetic DuckDB
+oracle.
 """
 
 from __future__ import annotations
@@ -107,9 +110,11 @@ def decode_media(
     the real decoder is not available in this environment."""
     if not allow_fake:
         raise NotImplementedError(
-            "media decode libs are not installed in this container; "
-            "pass allow_fake=True to exercise the Spark plumbing with "
-            "the deterministic fake decoder"
+            "JPEG entropy decode needs a codec library not installed in "
+            "this container (PPM/PNG/WAV/y4m all have REAL decoders — "
+            "see decode_ppm_media / decode_png_media / decode_wav_media "
+            "/ sample_y4m_media); pass allow_fake=True to exercise the "
+            "Spark plumbing with the deterministic fake decoder"
         )
 
     def run(it):
@@ -226,6 +231,224 @@ def ppm_decode_oracle_sql(table: str, id_col: str) -> str:
     h = f"(3 + {id_col} % 7)"
     means = ", ".join(
         f"CAST(2 * (({id_col} * 3 + {c * 7}) % {_PPM_BASE_MOD}) + {w} - 1 AS BIGINT)"
+        f" AS mean2_{ch}"
+        for c, ch in enumerate("rgb")
+    )
+    return f"""
+SELECT {id_col} AS media_id, CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height, {means}
+FROM {table}
+"""
+
+
+# --- REAL decode path: PNG (8-bit RGB, zlib + scanline filters) --------------
+#
+# PNG needs no external decode library: the pixel stream is zlib
+# (stdlib) and the per-scanline filter reconstruction (None/Sub/Up/
+# Average/Paeth, PNG spec §9) is plain integer arithmetic.  The
+# synthesizer emits REAL spec-conformant files — signature, IHDR/IDAT/
+# IEND chunks with verified CRC32s — and deliberately cycles through
+# ALL FIVE filter types across scanlines, so a decoder that botches any
+# one filter, the chunk walk, or a CRC cannot reproduce the pixels.
+# Synthetic image law (distinct from the PPM law so a crossed wire
+# between the two paths cannot cancel):
+#   width  w = 5 + id % 11          (<= 15)
+#   height h = 3 + id % 5           (<= 7)
+#   pixel(x, y, c) = base_c + x,  base_c = (id*5 + c*11) % 190
+# base_c + x <= 189 + 14 < 256: no wrap, so 2*mean = 2*base_c + (w-1).
+
+_PNG_BASE_MOD = 190
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # PNG spec Paeth predictor, vectorized over a scanline
+    p = a.astype(np.int64) + b.astype(np.int64) - c.astype(np.int64)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def synth_png(ids: np.ndarray) -> list[bytes]:
+    """Deterministic real PNG files (RGB8, filter type = y % 5)."""
+    import struct
+    import zlib
+
+    out = []
+    for i in ids:
+        i = int(i)
+        w, h = 5 + i % 11, 3 + i % 5
+        bases = np.array([(i * 5 + c * 11) % _PNG_BASE_MOD for c in range(3)])
+        img = (
+            (bases[None, None, :] + np.arange(w)[None, :, None])
+            * np.ones((h, 1, 1), dtype=np.int64)
+        ).astype(np.uint8)
+        raw = img.reshape(h, w * 3)
+        filtered = bytearray()
+        prev = np.zeros(w * 3, dtype=np.uint8)
+        for y in range(h):
+            line = raw[y]
+            f = y % 5
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            pleft = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
+            if f == 0:
+                enc = line
+            elif f == 1:
+                enc = line - left
+            elif f == 2:
+                enc = line - prev
+            elif f == 3:
+                enc = line - (
+                    (left.astype(np.int64) + prev.astype(np.int64)) // 2
+                ).astype(np.uint8)
+            else:
+                enc = line - _paeth(left, prev, pleft)
+            filtered.append(f)
+            filtered.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        out.append(
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + _png_chunk(b"IEND", b"")
+        )
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an 8-bit RGB PNG: chunk walk with CRC verification, zlib
+    inflate, per-scanline filter reconstruction.  Returns (w, h,
+    pixels[h, w, 3] uint8)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    stream = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("IDAT stream length mismatch")
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = stream[y * (stride + 1)]
+        line = np.frombuffer(
+            stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).copy()
+        if f == 0:
+            recon = line
+        elif f == 2:
+            recon = line + prev
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel: walk pixel-positions left to right, vectorized over
+            # the 3 channels of each position
+            recon = np.zeros(stride, dtype=np.uint8)
+            for j in range(0, stride, 3):
+                left = recon[j - 3 : j] if j else np.zeros(3, np.uint8)
+                up = prev[j : j + 3]
+                upleft = prev[j - 3 : j] if j else np.zeros(3, np.uint8)
+                if f == 1:
+                    recon[j : j + 3] = line[j : j + 3] + left
+                elif f == 3:
+                    recon[j : j + 3] = line[j : j + 3] + (
+                        (left.astype(np.int64) + up.astype(np.int64)) // 2
+                    ).astype(np.uint8)
+                elif f == 4:
+                    recon[j : j + 3] = line[j : j + 3] + _paeth(left, up, upleft)
+                else:
+                    raise ValueError(f"bad filter byte {f}")
+        px[y] = recon
+        prev = px[y]
+    return w, h, px.reshape(h, w, 3)
+
+
+def decode_png_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL PNG decode: chunk walk + inflate + unfilter per payload,
+    integer-exact 2x channel means from the reconstructed pixels.
+    Same output schema as the PPM path."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = []
+            for i, payload in zip(ids, pdf[bin_col]):
+                w, h, px = decode_png(bytes(payload))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                m2 = 2 * sums // (w * h)  # exact for the gradient law
+                rows.append((int(i), w, h, int(m2[0]), int(m2[1]), int(m2[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean2_r", "mean2_g", "mean2_b"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=PPM_DECODE_SCHEMA)
+
+
+def with_synth_png(df: DataFrame, id_col: str, out_col: str = "png") -> DataFrame:
+    """Attach the deterministic PNG payload for each id (binary col)."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField(out_col, BinaryType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({"media_id": ids, out_col: synth_png(ids)})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def png_decode_oracle_sql(table: str, id_col: str) -> str:
+    """Closed-form prediction of the PNG decode output from the id —
+    the oracle never inflates or unfilters, so a zlib/filter/chunk bug
+    in the decoder cannot cancel out."""
+    w = f"(5 + {id_col} % 11)"
+    h = f"(3 + {id_col} % 5)"
+    means = ", ".join(
+        f"CAST(2 * (({id_col} * 5 + {c * 11}) % {_PNG_BASE_MOD}) + {w} - 1 AS BIGINT)"
         f" AS mean2_{ch}"
         for c, ch in enumerate("rgb")
     )

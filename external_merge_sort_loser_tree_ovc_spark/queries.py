@@ -40,15 +40,18 @@ from .functions.dedup import (
     simhash_hamming_pairs,
 )
 from .functions.multimodal import (
+    decode_png_media,
     decode_ppm_media,
     decode_wav_media,
     media_metadata,
     media_metadata_oracle_sql,
+    png_decode_oracle_sql,
     ppm_decode_oracle_sql,
     resize_ppm_media,
     resize_ppm_oracle_sql,
     sample_y4m_media,
     wav_decode_oracle_sql,
+    with_synth_png,
     with_synth_ppm,
     with_synth_wav,
     with_synth_y4m,
@@ -364,6 +367,16 @@ def q_multimodal_resize(spark, sf_dir):
     integer-exact channel sums of the resized pixels vs closed form."""
     docs = _read(spark, sf_dir, "documents")
     return resize_ppm_media(with_synth_ppm(docs, "doc_id"), "ppm", "media_id")
+
+
+def q_multimodal_png(spark, sf_dir):
+    """REAL PNG decode, oracle-gated: spec-conformant files (CRC'd
+    chunks, zlib IDAT, all five scanline filter types across rows)
+    synthesized per doc, decoded with stdlib zlib + NumPy unfiltering,
+    integer-exact channel stats vs a closed-form oracle (see
+    q_multimodal_decode for the scheme)."""
+    docs = _read(spark, sf_dir, "documents")
+    return decode_png_media(with_synth_png(docs, "doc_id"), "png", "media_id")
 
 
 def q_multimodal_video(spark, sf_dir):
@@ -885,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_audio": q_multimodal_audio,
     "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_png": q_multimodal_png,
     "q_multimodal_video": q_multimodal_video,
     "q_text_extract": q_text_extract,
     # relational built-ins
@@ -945,6 +959,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_decode": ppm_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_audio": wav_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_resize": resize_ppm_oracle_sql("documents", "doc_id"),
+    "q_multimodal_png": png_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_tpch_q1": _oracle_tpch_q1(),

@@ -520,6 +520,35 @@ def test_ppm_decode_roundtrip_and_errors(spark):
         decode_ppm(b"JFIF not a ppm")
 
 
+def test_png_decode_roundtrip_filters_and_errors():
+    """Real PNG: every one of the 5 scanline filter types must round-
+    trip (heights up to 7 guarantee rows with filters 0..4), CRC
+    corruption must be detected, and a non-PNG payload rejected."""
+    import pytest as _pt
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.multimodal import (
+        decode_png,
+        synth_png,
+    )
+
+    ids = np.array([0, 1, 2, 3, 4, 12, 99, 1234, 7777])
+    filters_seen = set()
+    for i, payload in zip(ids, synth_png(ids)):
+        w, h, px = decode_png(payload)
+        assert (w, h) == (5 + i % 11, 3 + i % 5)
+        filters_seen |= {y % 5 for y in range(h)}
+        for c in range(3):
+            base = (int(i) * 5 + c * 11) % 190
+            assert (px[:, :, c] == base + np.arange(w)[None, :]).all()
+    assert filters_seen == {0, 1, 2, 3, 4}, "all PNG filter types exercised"
+    corrupted = bytearray(synth_png(np.array([5]))[0])
+    corrupted[20] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+    with _pt.raises(ValueError):
+        decode_png(b"JFIF not a png")
+
+
 def test_ann_ivf_recall_and_determinism(spark, emb):
     from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
         ann_ivf,
