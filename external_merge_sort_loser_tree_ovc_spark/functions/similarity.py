@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import FloatType, IntegerType, LongType, StructField, StructType
 
 SCALE = 1000
 
@@ -793,6 +793,62 @@ def ann_ivf(
         ranked.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def clustered_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 50,
+    noise: float = 0.02,
+) -> DataFrame:
+    """Deterministic CLUSTERED re-embedding keyed only by the id column
+    — the fixture approximate-ANN operators are actually for.
+
+    Isotropic random unit vectors (the synthetic gate embeddings) are
+    the information-theoretic worst case for any LSH/IVF family: a
+    near-orthogonal "neighbour"'s projection signs are coin flips, so
+    recall cannot exceed the scanned fraction.  This transform maps each
+    id to one of ``n_clusters`` unit centers plus tight noise — the
+    regime where bucketing genuinely concentrates true neighbours.
+
+    Partition-independent and bit-deterministic: center c and per-row
+    noise are seeded PCG64 streams keyed by (cluster id) and (row id)
+    respectively, never by partition or arrival order, so any
+    repartitioning reproduces identical vectors."""
+    from pyspark.sql.types import ArrayType
+
+    elem_t = df.schema[vec_col].dataType.elementType
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(elem_t)),
+        ]
+    )
+    np_t = np.float32 if isinstance(elem_t, FloatType) else np.float64
+
+    def run(it):
+        centers: dict[int, np.ndarray] = {}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            dim = len(pdf[vec_col].iloc[0])
+            vecs = []
+            for i in ids:
+                c = int(i) % n_clusters
+                center = centers.get(c)
+                if center is None:
+                    center = np.random.default_rng(1_000_003 + c).normal(0, 1, dim)
+                    center /= np.linalg.norm(center)
+                    centers[c] = center
+                nz = np.random.default_rng(2_000_033 + int(i)).normal(0, 1, dim)
+                v = center + noise * nz
+                vecs.append((v / np.linalg.norm(v)).astype(np_t))
+            yield pd.DataFrame({id_col: ids, vec_col: vecs})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
 # --- approximate scale path ---------------------------------------------------

@@ -64,6 +64,7 @@ from .functions.similarity import (
     ann_topk_cosine,
     ann_topk_cosine_oracle_sql,
     ann_topk_oracle_sql,
+    clustered_embeddings,
     neardup_oracle_sql,
     neardup_pairs,
 )
@@ -335,11 +336,19 @@ def q_ann_neardup(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate ANN (recall < 1 by design) — rows-only check."""
-    emb = _read(spark, sf_dir, "embeddings")
+    """Approximate ANN (recall < 1 by design) — rows-only check.
+
+    Runs over a CLUSTERED re-embedding of the gate ids
+    (clustered_embeddings: deterministic centers + tight noise), the
+    regime LSH is actually for — the raw gate embeddings are isotropic
+    random unit vectors, where any LSH family's recall is provably
+    bounded by the scanned bucket fraction (that worst case stays
+    pinned in pytest with its documented ceiling; the clustered
+    gate-config recall >= 0.9 is asserted in pytest too)."""
+    emb = clustered_embeddings(_read(spark, sf_dir, "embeddings"))
     mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
     qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    return ann_lsh_bucketed(emb, qids, ANN_K)
+    return ann_lsh_bucketed(emb, qids, ANN_K, n_planes=8, n_probe_planes=4)
 
 
 def q_multimodal_decode(spark, sf_dir):

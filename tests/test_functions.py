@@ -520,6 +520,45 @@ def test_ppm_decode_roundtrip_and_errors(spark):
         decode_ppm(b"JFIF not a ppm")
 
 
+def test_ann_lsh_gate_config_recall_clustered(spark, emb):
+    """The DRIVER-VISIBLE q_ann_lsh configuration: clustered_embeddings
+    over the gate ids, n_planes=8, n_probe_planes=3.  Recall vs exact
+    top-k on the same clustered vectors must be >= 0.9 — the driver's
+    rows-only check can't see recall, so this pin is the evidence that
+    the gate fixture measures the operator, not the isotropic
+    information-theoretic floor."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_lsh_bucketed,
+        ann_topk,
+        clustered_embeddings,
+    )
+
+    cl = clustered_embeddings(emb)
+    qids = [0, 7, 21, 42, 63]
+    exact = ann_topk(cl, qids, k=5).toPandas()
+    approx = ann_lsh_bucketed(
+        cl, qids, k=5, n_planes=8, n_probe_planes=4
+    ).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"gate-config clustered LSH recall too low: {recall}"
+
+
+def test_clustered_embeddings_deterministic(spark, emb):
+    """Fixture contract: identical vectors under any repartitioning."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        clustered_embeddings,
+    )
+
+    a = clustered_embeddings(emb).toPandas().sort_values("vec_id")
+    b = clustered_embeddings(emb.repartition(7)).toPandas().sort_values("vec_id")
+    assert (a.vec_id.to_numpy() == b.vec_id.to_numpy()).all()
+    va = np.stack(a.embedding.to_numpy())
+    vb = np.stack(b.embedding.to_numpy())
+    assert (va == vb).all(), "clustered fixture must not depend on partitioning"
+
+
 def test_png_decode_roundtrip_filters_and_errors():
     """Real PNG: every one of the 5 scanline filter types must round-
     trip (heights up to 7 guarantee rows with filters 0..4), CRC
@@ -573,6 +612,28 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     afull = ann_ivf(emb, qids, k=5, n_clusters=8, n_probe=8).toPandas()
     rfull = len(e & set(zip(afull.query_id, afull.neighbor_id))) / len(e)
     assert rfull == 1.0, f"n_probe == n_clusters must be exhaustive: {rfull}"
+
+
+def test_ann_ivf_recall_clustered(spark, emb):
+    """IVF's real workload (same argument as LSH): on clustered data
+    the coarse quantizer's cells align with the clusters, so probing a
+    few cells must recover >= 0.8 of true neighbours.  The isotropic
+    floor above stays at 0.5 — random unit vectors spread each query's
+    neighbours across cells, which bounds any cell-probing scheme."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_ivf,
+        ann_topk,
+        clustered_embeddings,
+    )
+
+    cl = clustered_embeddings(emb)
+    qids = [0, 7, 21, 42, 63]
+    exact = ann_topk(cl, qids, k=5).toPandas()
+    approx = ann_ivf(cl, qids, k=5, n_clusters=8, n_probe=3).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"clustered IVF recall too low: {recall}"
 
 
 def test_kmeans_quantized_deterministic(spark, emb):
