@@ -7,9 +7,11 @@ realized vectorized: key columns are normalized to order-preserving
 into ONE uint64 per row.  Merging two sorted uint64 arrays then needs no
 per-row Python at all: two ``np.searchsorted`` calls compute the exact
 gather positions (a "merge path"), and k runs merge via a binary
-tournament of pairwise merges, smallest runs first (reference
-``HDD.cpp:14-27`` smallest-first policy), i.e. O(n log k) total work at
-NumPy/C speed.
+tournament of pairwise merges, smallest ADJACENT pair first (reference
+``HDD.cpp:14-27`` smallest-first policy, restricted to run-ordinal
+neighbours so equal keys provably resolve in run order —
+``TreeOfLosers.cpp:36`` earlier-leaf-wins), i.e. O(n log k) total work
+at NumPy/C speed.
 
 Falls back to a stable ``np.lexsort`` over the (n, k) key matrix when
 keys cannot pack into 64 bits, and to pandas ``sort_values`` when a key
@@ -89,13 +91,21 @@ def merge_runs_packed(
         (run_keys[i], np.arange(offsets[i], offsets[i + 1], dtype=np.int64))
         for i in range(k)
     ]
-    # smallest-first policy; ties by original order for stability/determinism
-    entries.sort(key=lambda e: len(e[0]))
+    # Smallest-ADJACENT-pair-first tournament.  Restricting each merge
+    # to ordinal-adjacent entries keeps every intermediate entry a
+    # contiguous run-ordinal interval, so the A side of every pairwise
+    # merge covers strictly smaller ordinals than the B side — with
+    # merge2's ties-go-to-A rule, the whole tournament is provably
+    # RUN-ORDER STABLE for equal keys (the reference tree's earlier-
+    # leaf-wins semantics, TreeOfLosers.cpp:36), not merely
+    # deterministic.  Cheapest-merges-early is preserved (HDD.cpp:14-27
+    # smallest-first spirit); cost stays O(n log k).
     while len(entries) > 1:
-        (ka, ia), (kb, ib) = entries[0], entries[1]
-        # stability on equal keys: lower global index first
-        if ia[0] > ib[0] if len(ia) and len(ib) else False:
-            (ka, ia), (kb, ib) = (kb, ib), (ka, ia)
+        j = min(
+            range(len(entries) - 1),
+            key=lambda i: len(entries[i][0]) + len(entries[i + 1][0]),
+        )
+        (ka, ia), (kb, ib) = entries[j], entries[j + 1]
         pa_, pb_ = merge2_positions(ka, kb)
         if counters is not None:
             ovc, col = merge2_compare_counts(ka, kb, pa_, pb_)
@@ -108,9 +118,7 @@ def merge_runs_packed(
         keys[pb_] = kb
         idx[pa_] = ia
         idx[pb_] = ib
-        entries = entries[2:]
-        entries.append((keys, idx))
-        entries.sort(key=lambda e: len(e[0]))
+        entries[j : j + 2] = [(keys, idx)]
     return entries[0][1]
 
 

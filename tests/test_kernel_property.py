@@ -108,3 +108,44 @@ def test_merge2_compare_counts_match_sequential_merge(a, b):
     out[pa_] = ka
     out[pb_] = kb
     assert (np.sort(np.concatenate([ka, kb])) == out).all()
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lens=st.lists(st.integers(0, 40), min_size=1, max_size=9),
+    domain=st.integers(1, 4),  # tiny domains -> duplicate-heavy ties
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_merge_runs_packed_run_order_stable(lens, domain, seed):
+    """Leaf-order stability through the whole tournament (reference
+    TreeOfLosers.cpp:36 earlier-leaf-wins semantics): for ANY run count,
+    adversarially skewed run lengths, and duplicate-heavy keys, the
+    gather order returned by merge_runs_packed must equal the STABLE
+    argsort of the runs' concatenation — i.e. equal keys come out in
+    run order, and in within-run order inside each run.  This is the
+    structural guarantee of the adjacent-pair tournament (every merge's
+    A side covers strictly smaller run ordinals), not a tie-luck
+    artifact — hypothesis drives run-length patterns that made the old
+    smallest-first pairing interleave non-adjacent ordinal sets."""
+    from external_merge_sort_loser_tree_ovc_spark.kernel import vmerge
+
+    rng = np.random.default_rng(seed)
+    runs = [
+        np.sort(rng.integers(0, domain, n).astype(np.uint64)) for n in lens
+    ]
+    counters = {}
+    idx = vmerge.merge_runs_packed(runs, counters)
+    concat = np.concatenate(runs) if runs else np.zeros(0, dtype=np.uint64)
+    expect = np.argsort(concat, kind="stable")
+    assert (idx == expect).all(), (lens, domain, seed)
+    # counter sanity: every compare is either ovc or col, totals bounded
+    # by the sequential-merge upper bound n-1 per pairwise merge level
+    total = counters.get("ovc", 0) + counters.get("col", 0)
+    n = int(sum(lens))
+    k = sum(1 for L in lens if L)
+    assert total <= max(0, n - 1) * max(1, k)
