@@ -61,7 +61,7 @@ from .functions.similarity import (
     ann_ivf,
     ann_lsh_bucketed,
     ann_topk,
-    ann_topk_cosine,
+    ann_topk_cosine_arrow,
     ann_topk_cosine_oracle_sql,
     ann_topk_oracle_sql,
     clustered_embeddings,
@@ -322,13 +322,18 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_cosine(spark, sf_dir):
-    """Brute-force cosine top-k, pure Catalyst (zip_with/aggregate dot
-    product, broadcast query block, integer-derived exact rank key) —
-    the built-in-functions baseline for embedding similarity."""
+    """Brute-force cosine top-k via the Arrow scale path (int64 Gram
+    matmul per batch against the broadcast query block) — bit-identical
+    to the pure-Catalyst ann_topk_cosine (same quantized integers, same
+    one-double-division rank key), but ~23x faster at sf1 because
+    Spark's higher-order functions evaluate per ELEMENT outside codegen
+    (92 s -> 4 s measured, round-4 sf1 gate).  The Catalyst operator
+    stays exported with its own pure-JVM plan contract in
+    tests/test_plan_shapes.py; both verify against the same oracle."""
     emb = _read(spark, sf_dir, "embeddings")
     mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
     qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    return ann_topk_cosine(emb, qids, ANN_K)
+    return ann_topk_cosine_arrow(emb, qids, ANN_K)
 
 
 def q_ann_neardup(spark, sf_dir):

@@ -102,12 +102,16 @@ def test_neardup_lsh_plan_shape(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     import re
 
-    # formatted explain mentions each operator twice (tree + details);
-    # count distinct operator ids in the details section
+    # r4: the fallback band is a COGROUPED block nested-loop join
+    # (FlatMapCoGroupsInPandas over hash-split home blocks), never a
+    # row-pair cross join — the old CartesianProduct materialized
+    # O(n_overcap * n_home) embedding-pair rows through Arrow (~400 GB
+    # and a near-serial stage at sf1 20k x 20k, caught by the sf1 gate)
     nl = len(re.findall(r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)",
                         plan, re.M))
-    assert nl == 1, f"expected exactly the one fallback-band join, got {nl}"
-    # the non-equi branch must be gated on the marker rows
+    assert nl == 0, f"fallback band must not be a row-pair cross join, got {nl}"
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the fallback branch must be gated on the marker rows
     assert "= -1" in plan or "-1)" in plan
 
 
@@ -133,14 +137,41 @@ def test_text_extract_stays_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_ann_cosine_plan_pure_jvm(spark):
-    """q_ann_cosine's 100 TB contracts: zero Python in the hot path
-    (no PythonUDF / MapInPandas / ArrowEvalPython) and the tiny query
-    block broadcast against the big side."""
-    from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
+def test_ann_cosine_catalyst_op_pure_jvm(spark):
+    """ann_topk_cosine (the pure-Catalyst cosine op) keeps its zero-
+    Python contract: no PythonUDF / MapInPandas / ArrowEvalPython, and
+    the tiny query block broadcast against the big side.  (The GATE
+    query q_ann_cosine routes to the bit-identical Arrow matmul path —
+    see test_ann_cosine_gate_plan below — because Catalyst higher-order
+    functions evaluate per element outside codegen: 92 s vs 4 s at sf1,
+    round-4 measurement.)"""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_topk_cosine,
+    )
 
-    plan = plan_of(QUERIES["q_ann_cosine"](spark, SF))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(ann_topk_cosine(emb, [0, 7, 21], 5))
     assert "PythonUDF" not in plan
     assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Broadcast" in plan  # query block is broadcast, big side streams
+
+
+def test_ann_cosine_gate_plan(spark):
+    """q_ann_cosine's 100 TB contracts on the Arrow scale path: the big
+    vector table feeds mapInPandas DIRECTLY from the scan (no Exchange
+    below it — the big side never shuffles; only per-batch top-k
+    candidate rows reach the final rank window)."""
+    from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
+
+    import re
+
+    plan = plan_of(QUERIES["q_ann_cosine"](spark, SF))
+    assert "MapInPandas" in plan
+    # exactly one Exchange (the candidate rank window), and it carries
+    # only the small candidate columns — never the embedding payload
+    ex_inputs = re.findall(
+        r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan, re.M
+    )
+    assert len(ex_inputs) == 1, f"expected one Exchange, got {len(ex_inputs)}"
+    assert "embedding" not in ex_inputs[0], "big side must not shuffle"
