@@ -587,6 +587,14 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
     # once per block (O(n_overcap * n_blocks) movement), and each group
     # computes the int64 Gram matrix locally — n_blocks parallel tasks,
     # data movement linear in each side.
+    # Cost trade, stated: the cogroup re-shuffles the home table once
+    # even when the fallback band turns out empty (Spark cannot prove a
+    # cogroup output empty from one empty side, and counting over-cap
+    # rows up front would launch a job at plan-build time, which this
+    # function promises not to do).  One extra linear shuffle of the
+    # vector table buys the removal of a quadratic Arrow stream — at
+    # every scale where the fallback matters, that is the right side of
+    # the trade.
     spark = vectors.sparkSession
     n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
     overcap = probe_df.filter(F.col("bucket") == -1).select("pvid", "pe")
