@@ -392,6 +392,12 @@ def ngram_jaccard_pairs(
     grams = (
         df.select(F.col(id_col), F.explode(F.expr(_bigrams_spark(text_col))).alias("g"))
         .distinct()
+        # the gram index feeds THREE consumers (hot-key cap, per-doc
+        # counts, both sides of the self-join); the explode+distinct is
+        # the expensive part (Catalyst string lambdas are interpreted
+        # per element — 26 s alone at sf1) and recomputed per consumer
+        # without this persist (41 s -> 14 s at sf1, measured)
+        .persist()
     )
     if df_cap is not None:
         grams = _drop_hot_keys(grams, ["g"], df_cap)
