@@ -75,6 +75,11 @@ from .functions.textops import (
     text_features_oracle_sql,
     with_text_features,
 )
+from .functions.urltools import (
+    canonical_parts_sql,
+    canonical_url_sql,
+    synth_url_sql,
+)
 from .operators.sort import external_sort_df
 from .operators.witness import sortedness_report
 from .spatial import cells
@@ -451,6 +456,66 @@ def q_multimodal_meta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # relational built-ins (joins / aggs / windows over the star schema)
 # ---------------------------------------------------------------------------
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization — the first dedup key of any web corpus.
+    A deterministic messy URL (mixed-case scheme/host, www, default
+    and real ports, trailing slash, utm_* params, fragment) is derived
+    per doc and canonicalized entirely in shared SQL built-ins:
+    whole-stage codegen on the Spark side, bit-exact vs the identical
+    DuckDB chain."""
+    docs = _read(spark, sf_dir, "documents")
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_SPARK, u)
+    return docs.select(
+        "doc_id",
+        F.expr(u).alias("url"),
+        F.expr(canonical_url_sql(_SPARK, u)).alias("canon_url"),
+        F.expr(parts["host"]).alias("host"),
+    )
+
+
+def q_url_host_stats(spark, sf_dir):
+    """Host-level rollup over canonical URLs (pages + distinct pages
+    per registrable host) — the aggregation that sizes per-site crawl
+    dedup; one shuffle on the host key."""
+    docs = _read(spark, sf_dir, "documents")
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_SPARK, u)
+    return (
+        docs.select(
+            F.expr(parts["host"]).alias("host"),
+            F.expr(canonical_url_sql(_SPARK, u)).alias("canon_url"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("canon_url").alias("n_urls"),
+        )
+    )
+
+
+def _oracle_url_canonical() -> str:
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_DUCK, u)
+    return (
+        f"SELECT doc_id, {u} AS url, "
+        f"{canonical_url_sql(_DUCK, u)} AS canon_url, "
+        f"{parts['host']} AS host FROM documents"
+    )
+
+
+def _oracle_url_host_stats() -> str:
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_DUCK, u)
+    return f"""
+SELECT {parts['host']} AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT {canonical_url_sql(_DUCK, u)}) AS BIGINT) AS n_urls
+FROM documents
+GROUP BY 1
+"""
+
 
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 shape with integer-cents aggregates (hash-stable)."""
@@ -915,6 +980,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_png": q_multimodal_png,
     "q_multimodal_video": q_multimodal_video,
     "q_text_extract": q_text_extract,
+    "q_url_canonical": q_url_canonical,
+    "q_url_host_stats": q_url_host_stats,
     # relational built-ins
     "q_tpch_q1": q_tpch_q1,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -976,6 +1043,8 @@ ORACLES: dict[str, str] = {
     "q_multimodal_png": png_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
+    "q_url_canonical": _oracle_url_canonical(),
+    "q_url_host_stats": _oracle_url_host_stats(),
     "q_tpch_q1": _oracle_tpch_q1(),
     "q_revenue_by_nation": _oracle_revenue_by_nation(),
     "q_window_topk": _oracle_window_topk(),
