@@ -124,6 +124,10 @@ def run_default() -> dict:
             _materialize(QUERIES[name](spark, SF_DIR))
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+            # release operator-internal persists (ngram gram index, LSH
+            # home table, ...) outside the timed window — without this
+            # a sweep accumulates one cached copy per invocation
+            spark.catalog.clearCache()
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
     # drop DataFrame caches left by the query sweep (q_ann_lsh etc.) so
@@ -294,7 +298,14 @@ def membw_probe(nproc: int = 8, dur: float = 6.0) -> float:
     tot = 0.0
     for p in procs:
         out, _ = p.communicate()
-        tot += float(out.strip().splitlines()[-1])
+        # a worker killed/starved under the very contention this probe
+        # detects must degrade the stamp, not crash the benchmark
+        lines = (out or "").strip().splitlines()
+        if p.returncode == 0 and lines:
+            try:
+                tot += float(lines[-1])
+            except ValueError:
+                pass
     return tot / 1e9
 
 
@@ -307,18 +318,7 @@ def run_membw_scaling(levels: list[int], repeat: int = 2) -> dict:
     for nproc in levels:
         best = 0.0
         for _ in range(repeat):
-            procs = [
-                subprocess.Popen(
-                    [sys.executable, "-c", _MEMBW_WORKER],
-                    stdout=subprocess.PIPE, text=True,
-                )
-                for _ in range(nproc)
-            ]
-            tot = 0.0
-            for p in procs:
-                out, _ = p.communicate()
-                tot += float(out.strip().splitlines()[-1])
-            best = max(best, tot / 1e9)
+            best = max(best, membw_probe(nproc))
         results[nproc] = best
     lo, hi = min(levels), max(levels)
     eff = results[hi] / (results[lo] * (hi / lo))

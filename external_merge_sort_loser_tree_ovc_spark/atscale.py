@@ -28,10 +28,20 @@ dialect-shared arithmetic —
 then columns combine positionally (sorted by name) with distinct prime
 weights and one squaring pass for nonlinearity.  Every intermediate
 product stays < 2^62, so ANSI overflow checking (Spark 4 default)
-never trips.  Floating-point columns are rejected — gate queries are
-designed integer-exact, and a float that must round-trip a fingerprint
-would reintroduce exactly the cross-engine reproducibility hazard this
-gate exists to avoid.
+never trips.
+
+Float columns are accepted ONLY through the exact-cents mapping (see
+``_kind``): a passthrough double read from the same parquet bits is
+identical in both engines and FLOOR(x*100+0.5) on it is one correctly
+rounded multiply — but engine-computed floats (different summation
+orders) would NOT survive, which is why gate queries keep aggregates
+integer-exact.  Arrays/binary are rejected.
+
+Size bound, stated: ``smix`` is a plain SUM of per-row 31-bit mixes,
+so it stays inside int64 for results up to 2^32 rows (~4.3e9).  Beyond
+that Spark's ANSI sum errors (and DuckDB's HUGEINT->BIGINT cast errors
+equally loudly) rather than wrapping silently — a result set that
+large should be fingerprinted in partitions anyway.
 """
 
 from __future__ import annotations

@@ -342,6 +342,10 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            # struct.error from a short unpack would escape the
+            # documented ValueError corrupt-input contract
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(

@@ -16,7 +16,8 @@ Canonical form (documented, deliberately conservative):
   - ``utm_*`` tracking parameters dropped (other params preserved in
     their original order — parameter SORTING is not applied, two urls
     that differ only in param order stay distinct)
-  - trailing slash collapsed; empty path becomes ``/``
+  - trailing path slash collapsed (both ``/a/`` and ``/a/?q`` forms);
+    empty path becomes ``/``
 
 The synthetic messy-URL generator (``synth_url_sql``) derives every
 kind of mess deterministically from doc_id with modular arithmetic
@@ -68,7 +69,11 @@ def canonical_parts_sql(d: Dialect, url: str) -> dict[str, str]:
     p = d.regexp_replace(p, "&utm_[a-z]+=[^&#]*", "")
     p = d.regexp_replace(p, "[?]utm_[a-z]+=[^&#]*&", "?")
     p = d.regexp_replace(p, "[?]utm_[a-z]+=[^&#]*$", "")
-    # trailing-slash collapse (only matches when nothing follows the /)
+    # trailing-slash collapse: both the bare-path form ('/a/' -> '/a')
+    # and the before-query form ('/a/?x' -> '/a?x') — otherwise the
+    # same logical page with and without the path slash would keep two
+    # distinct canonical urls and dedup would miss the group
+    p = d.regexp_replace(p, "/[?]", "?")
     p = d.regexp_replace(p, "/$", "")
     path = f"(CASE WHEN {p} = '' THEN '/' ELSE {p} END)"
     return {"scheme": scheme, "host": host, "portpart": portpart, "path": path}

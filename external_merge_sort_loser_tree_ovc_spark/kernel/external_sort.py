@@ -559,6 +559,10 @@ class ExternalSorter:
         # emission slices are decoupled from batch_rows (see emit_rows
         # field doc): geometry pages can be tiny without pushing
         # thousands of micro-batches into the downstream Arrow stream
+        if self.emit_rows is not None and self.emit_rows < 1:
+            # range(0, n, step<=0) would silently emit NOTHING — make the
+            # misconfiguration loud instead of losing the sorted output
+            raise ValueError(f"emit_rows must be >= 1, got {self.emit_rows}")
         step = self.emit_rows if self.emit_rows else max(self.batch_rows, 8192)
         for i in range(0, table.num_rows, step):
             yield table.slice(i, step)

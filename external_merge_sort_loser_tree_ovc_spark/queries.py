@@ -355,8 +355,12 @@ def q_ann_lsh(spark, sf_dir):
     bounded by the scanned bucket fraction (that worst case stays
     pinned in pytest with its documented ceiling; the clustered
     gate-config recall >= 0.9 is asserted in pytest too)."""
-    emb = clustered_embeddings(_read(spark, sf_dir, "embeddings"))
-    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    raw = _read(spark, sf_dir, "embeddings")
+    # ids pass through clustered_embeddings unchanged — read max from
+    # the RAW table so the qid probe doesn't pay a re-embedding pass;
+    # persist the fixture since home+probe bucketize both consume it
+    mx = raw.agg(F.max("vec_id")).collect()[0][0] or 0
+    emb = clustered_embeddings(raw).persist()
     qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
     return ann_lsh_bucketed(emb, qids, ANN_K, n_planes=8, n_probe_planes=4)
 

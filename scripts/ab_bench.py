@@ -72,6 +72,9 @@ print("ABRESULT " + json.dumps(out))
 
 def _checkout(ref: str) -> str:
     if ref in ("HEAD", "WORKTREE"):
+        # measures the LIVE working tree (uncommitted edits included);
+        # the output doc carries a worktree_dirty flag so a dirty tree
+        # can't be silently attributed to the HEAD commit
         return REPO
     sha = subprocess.run(
         ["git", "rev-parse", "--short", ref], cwd=REPO,
@@ -119,10 +122,17 @@ def main() -> None:
                 raw[ref].setdefault(q, []).extend(ts)
         membw.append(round(membw_probe(), 1))
 
+    dirty = bool(
+        subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    ) if any(r in ("HEAD", "WORKTREE") for r in refs) else False
     doc = {
         "metric": "interleaved A/B per-query best (one window)",
         "unit": "sec",
         "refs": refs,
+        "worktree_dirty": dirty,
         "best": {r: {q: min(ts) for q, ts in raw[r].items()} for r in refs},
         "raw": raw,
         "membw_gbps": membw,

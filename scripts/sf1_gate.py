@@ -113,6 +113,8 @@ def main() -> None:
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
             rec["rows_match"] = rec["hash_match"] = False
         results[name] = rec
+        # release operator-internal persists between queries
+        spark.catalog.clearCache()
         status = "OK " if rec.get("hash_match") or rec.get("hash_match") is None and rec["err"] is None else "FAIL"
         print(f"{status} {name} {json.dumps(rec)[:200]}", flush=True)
 

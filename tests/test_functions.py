@@ -586,6 +586,13 @@ def test_png_decode_roundtrip_filters_and_errors():
         decode_png(bytes(corrupted))
     with _pt.raises(ValueError):
         decode_png(b"JFIF not a png")
+    # truncation mid-chunk must keep the ValueError contract, never
+    # leak struct.error
+    whole = synth_png(np.array([5]))[0]
+    # cut IEND (12 bytes) plus one byte of IDAT's CRC: the IDAT header
+    # still parses, so the chunk-walk must detect the short body
+    with _pt.raises(ValueError, match="truncated"):
+        decode_png(whole[: len(whole) - 13])
 
 
 def test_ann_ivf_recall_and_determinism(spark, emb):
