@@ -175,3 +175,95 @@ def minhash_oracle_select(table: str, id_col: str, text_col: str = "text") -> st
         f"SELECT {id_col}, {sigs} FROM "
         f"(SELECT {id_col}, {T.shingle_arr_sql(d, text_col)} AS _sh FROM {table})"
     )
+
+
+# --- document chunking (training-data prep) ----------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def _chunk_counts_sql(d: T.Dialect, n: str, c: int, v: int) -> str:
+    """Number of chunks for an n-token doc: 1 if n <= c, else
+    1 + ceil((n - c) / stride) with stride = c - v — pure integer
+    arithmetic (DIV vs // is the only dialect split)."""
+    s = c - v
+    idiv = "DIV" if d.name == "spark" else "//"
+    return (
+        f"(CASE WHEN {n} <= {c} THEN 1 "
+        f"ELSE 1 + (({n} - {c} + {s - 1}) {idiv} {s}) END)"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Token-bounded overlapping chunks — the canonical prep step that
+    turns raw documents into training-window-sized pieces.  Whitespace
+    tokens, chunk k covers token positions [1 + k*stride, ... + chunk
+    _tokens); the final chunk is allowed to be short, and every token
+    belongs to at least one chunk.  All built-ins (split / sequence /
+    explode / slice / array_join — no HOF lambdas, no Python), one
+    narrow explode whose output is exactly the chunk table.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text)."""
+    assert 0 <= overlap < chunk_tokens
+    d = _SPARK
+    stride = chunk_tokens - overlap
+    words = d.split(text_col)
+    n = d.size("_w")
+    nc = _chunk_counts_sql(d, "_n", chunk_tokens, overlap)
+    start = f"(1 + chunk_idx * {stride})"
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, f"{words} AS _w")
+        .selectExpr(id_col, "_w", f"{n} AS _n")
+        .selectExpr(id_col, "_w", "_n", f"{nc} AS _nc")
+        .select(
+            F.col(id_col),
+            F.expr("explode(sequence(0, _nc - 1))").alias("chunk_idx"),
+            F.col("_w"),
+            F.col("_n"),
+        )
+        .selectExpr(
+            id_col,
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            f"CAST(least({chunk_tokens}, _n - {start} + 1) AS BIGINT) AS n_tokens",
+            f"array_join(slice(_w, {start}, {chunk_tokens}), ' ') AS chunk_text",
+        )
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> str:
+    d = _DUCK
+    stride = chunk_tokens - overlap
+    nc = _chunk_counts_sql(d, "n", chunk_tokens, overlap)
+    start = f"(1 + chunk_idx * {stride})"
+    end = f"least({start} + {chunk_tokens - 1}, n)"
+    return f"""
+WITH w AS (
+  SELECT {id_col}, {d.split(text_col)} AS ws FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+c AS (SELECT {id_col}, ws, {d.size('ws')} AS n FROM w),
+k AS (
+  SELECT {id_col}, ws, n, unnest(range(0, {nc})) AS chunk_idx FROM c
+)
+SELECT {id_col},
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST({end} - {start} + 1 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(ws, {start}, {end}), ' ') AS chunk_text
+FROM k
+"""

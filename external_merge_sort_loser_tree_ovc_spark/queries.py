@@ -71,6 +71,8 @@ from .functions.similarity import (
 from .functions.textops import (
     _DUCK,
     _SPARK,
+    chunk_documents,
+    chunk_documents_oracle_sql,
     extract_text_sql,
     text_features_oracle_sql,
     with_text_features,
@@ -460,6 +462,14 @@ def q_multimodal_meta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # relational built-ins (joins / aggs / windows over the star schema)
 # ---------------------------------------------------------------------------
+
+def q_doc_chunks(spark, sf_dir):
+    """Token-bounded overlapping document chunking (64-token windows,
+    16-token overlap) — the prep step that turns raw documents into
+    training-window-sized pieces.  One narrow explode, all built-ins,
+    bit-exact vs the identical integer chunk arithmetic in DuckDB."""
+    return chunk_documents(_read(spark, sf_dir, "documents"), "doc_id")
+
 
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization — the first dedup key of any web corpus.
@@ -984,6 +994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_png": q_multimodal_png,
     "q_multimodal_video": q_multimodal_video,
     "q_text_extract": q_text_extract,
+    "q_doc_chunks": q_doc_chunks,
     "q_url_canonical": q_url_canonical,
     "q_url_host_stats": q_url_host_stats,
     # relational built-ins
@@ -1047,6 +1058,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_png": png_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
+    "q_doc_chunks": chunk_documents_oracle_sql("documents", "doc_id"),
     "q_url_canonical": _oracle_url_canonical(),
     "q_url_host_stats": _oracle_url_host_stats(),
     "q_tpch_q1": _oracle_tpch_q1(),
