@@ -170,6 +170,11 @@ def run_default() -> dict:
         "membw_gbps_pre": round(membw_pre, 1),
     }
     spark.stop()
+    # settle before the post stamp: JVM teardown (shutdown hooks, GC,
+    # executor thread joins) churns every core for several seconds and
+    # reads as a fake bandwidth collapse (0.2 GB/s measured mid-
+    # teardown vs 65.7 idle one minute later, same box state)
+    time.sleep(10)
     doc["membw_gbps_post"] = round(membw_probe(), 1)
     return doc
 
