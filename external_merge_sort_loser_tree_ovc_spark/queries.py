@@ -471,6 +471,41 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_read(spark, sf_dir, "documents"), "doc_id")
 
 
+PREP_MIN_TOKENS = 20
+
+
+def q_prep_pipeline(spark, sf_dir):
+    """END-TO-END training-data prep: quality filter (token count +
+    stopword ratio, integer predicates) -> exact dedup (min-id survivor
+    per text) -> token-window chunking — three gate-verified operators
+    COMPOSED into one lazy plan, the shape a real corpus pipeline
+    ships.  Catalyst sees the whole chain: the filter pushes below the
+    dedup shuffle, and only survivors are chunked.  The oracle runs the
+    identical composition as nested CTEs."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = F.expr(T.token_count_sql(_SPARK, "text"))
+    stop = F.expr(T.stopword_count_sql(_SPARK, "text"))
+    q = docs.filter((tok >= PREP_MIN_TOKENS) & (stop * 10 >= tok))
+    survivors = q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return chunk_documents(survivors.select("doc_id", "text"), "doc_id")
+
+
+def _oracle_prep_pipeline() -> str:
+    tok = T.token_count_sql(_DUCK, "text")
+    stop = T.stopword_count_sql(_DUCK, "text")
+    chunks = chunk_documents_oracle_sql("s", "doc_id")
+    return f"""
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL
+    AND {tok} >= {PREP_MIN_TOKENS}
+    AND {stop} * 10 >= {tok}
+),
+s AS (SELECT MIN(doc_id) AS doc_id, text FROM q GROUP BY text)
+SELECT * FROM ({chunks}) t
+"""
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization — the first dedup key of any web corpus.
     A deterministic messy URL (mixed-case scheme/host, www, default
@@ -995,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_video": q_multimodal_video,
     "q_text_extract": q_text_extract,
     "q_doc_chunks": q_doc_chunks,
+    "q_prep_pipeline": q_prep_pipeline,
     "q_url_canonical": q_url_canonical,
     "q_url_host_stats": q_url_host_stats,
     # relational built-ins
@@ -1059,6 +1095,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_doc_chunks": chunk_documents_oracle_sql("documents", "doc_id"),
+    "q_prep_pipeline": _oracle_prep_pipeline(),
     "q_url_canonical": _oracle_url_canonical(),
     "q_url_host_stats": _oracle_url_host_stats(),
     "q_tpch_q1": _oracle_tpch_q1(),
