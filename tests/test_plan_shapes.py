@@ -175,3 +175,21 @@ def test_ann_cosine_gate_plan(spark):
     )
     assert len(ex_inputs) == 1, f"expected one Exchange, got {len(ex_inputs)}"
     assert "embedding" not in ex_inputs[0], "big side must not shuffle"
+
+
+def test_prep_pipeline_plan_composition(spark):
+    """The composed prep pipeline's contracts: the quality filter sits
+    BELOW the dedup Exchange (evaluated pre-shuffle, next to the scan),
+    partial_min runs map-side, exactly one Exchange exists, and the
+    scan reads only (doc_id, text)."""
+    from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q_prep_pipeline"](spark, SF))
+    assert plan.count("Exchange") >= 1
+    # formatted tree prints top-down: Exchange above Filter above Scan
+    i_ex = plan.index("Exchange")
+    i_fl = plan.index("Filter")
+    i_sc = plan.index("Scan parquet") if "Scan parquet" in plan else plan.index("FileScan")
+    assert i_ex < i_fl < i_sc, "filter must sit between shuffle and scan"
+    assert "partial_min" in plan, "dedup must partial-aggregate map-side"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
