@@ -155,13 +155,19 @@ def q_sort_witness(spark, sf_dir):
     The engine *computes* inversions over its own sorted output; the
     oracle asserts the expected values."""
     df = _read(spark, sf_dir, "lineitem")
-    out = external_sort_df(df, SORT_KEYS, num_partitions=8)
-    rep = sortedness_report(out, SORT_KEYS)
-    inv = int(rep.inversions.sum())
-    agg = out.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.expr(PARITY_SQL).alias("parity"),
-    ).collect()[0]
+    # the witness consumes the sorted output TWICE (inversion scan +
+    # count/parity aggregate) — persist so the external sort runs once,
+    # and release before returning (the result is 1 tiny local row)
+    out = external_sort_df(df, SORT_KEYS, num_partitions=8).persist()
+    try:
+        rep = sortedness_report(out, SORT_KEYS)
+        inv = int(rep.inversions.sum())
+        agg = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr(PARITY_SQL).alias("parity"),
+        ).collect()[0]
+    finally:
+        out.unpersist()
     return spark.createDataFrame(
         [(int(agg["rows"]), int(agg["parity"]), inv)],
         "rows bigint, parity bigint, inversions bigint",
