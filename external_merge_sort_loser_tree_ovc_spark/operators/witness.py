@@ -54,13 +54,25 @@ def int_parity(df: DataFrame, cols: list[str]) -> int:
     return p
 
 
-def sortedness_report(df: DataFrame, keys: list[str]) -> pd.DataFrame:
+def sortedness_report(
+    df: DataFrame,
+    keys: list[str],
+    parity_terms: list[tuple[str, int]] | None = None,
+) -> pd.DataFrame:
     """Per-partition inversion counts + boundary keys.
 
-    Returns a pandas frame (pid, rows, inversions, first_key, last_key)
-    collected to the driver; ``assert_globally_sorted`` interprets it.
-    The heavy work (inversion counting) is vectorized NumPy inside each
-    task — only 1 row per partition is collected.
+    Returns a pandas frame (pid, rows, inversions, parity, first_key,
+    last_key) collected to the driver; ``assert_globally_sorted``
+    interprets it.  The heavy work (inversion counting) is vectorized
+    NumPy inside each task — only 1 row per partition is collected.
+
+    ``parity_terms``: optional [(col, weight), ...] — each partition
+    also xor-folds sum(col*weight) per row (int64, the reference's
+    Witness.cpp:47 checksum generalized), so the FULL witness (count +
+    parity + inversions) is ONE pass over the sorted output instead of
+    a second aggregation job re-reading or re-sorting it.  Matches the
+    SQL form bit_xor(c1*w1 + c2*w2 + ...) exactly (int64 arithmetic,
+    no overflow for the gate's key ranges).
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -69,12 +81,14 @@ def sortedness_report(df: DataFrame, keys: list[str]) -> pd.DataFrame:
             StructField("pid", LongType()),
             StructField("rows", LongType()),
             StructField("inversions", LongType()),
+            StructField("parity", LongType()),
             StructField("first_key", StringType()),
             StructField("last_key", StringType()),
         ]
     )
 
     key_list = list(keys)
+    terms = list(parity_terms or [])
 
     def check(iterator):
         from pyspark import TaskContext
@@ -82,12 +96,18 @@ def sortedness_report(df: DataFrame, keys: list[str]) -> pd.DataFrame:
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         total = 0
         inv = 0
+        parity = 0
         first = None
         last = None
         prev_tail = None
         for pdf in iterator:
             if pdf.empty:
                 continue
+            if terms:
+                mix = np.zeros(len(pdf), dtype=np.int64)
+                for c, w in terms:
+                    mix += pdf[c].to_numpy(dtype=np.int64) * np.int64(w)
+                parity ^= int(np.bitwise_xor.reduce(mix)) if len(mix) else 0
             sub = pdf[key_list]
             if prev_tail is not None:
                 sub = pd.concat([prev_tail, sub], ignore_index=True)
@@ -104,6 +124,7 @@ def sortedness_report(df: DataFrame, keys: list[str]) -> pd.DataFrame:
                 "pid": [pid],
                 "rows": [total],
                 "inversions": [inv],
+                "parity": [parity],
                 "first_key": [first if first is not None else ""],
                 "last_key": [last if last is not None else ""],
             }

@@ -155,21 +155,23 @@ def q_sort_witness(spark, sf_dir):
     The engine *computes* inversions over its own sorted output; the
     oracle asserts the expected values."""
     df = _read(spark, sf_dir, "lineitem")
-    # the witness consumes the sorted output TWICE (inversion scan +
-    # count/parity aggregate) — persist so the external sort runs once,
-    # and release before returning (the result is 1 tiny local row)
-    out = external_sort_df(df, SORT_KEYS, num_partitions=8).persist()
-    try:
-        rep = sortedness_report(out, SORT_KEYS)
-        inv = int(rep.inversions.sum())
-        agg = out.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.expr(PARITY_SQL).alias("parity"),
-        ).collect()[0]
-    finally:
-        out.unpersist()
+    out = external_sort_df(df, SORT_KEYS, num_partitions=8)
+    # the FULL witness (count + parity + inversions) rides the ONE
+    # inversion pass over the sorted output — no second aggregation
+    # job, no persist of the sorted table (the parity fold matches
+    # PARITY_SQL's int64 arithmetic exactly)
+    rep = sortedness_report(
+        out,
+        SORT_KEYS,
+        parity_terms=[("l_orderkey", 1000003), ("l_linenumber", 7919), ("l_partkey", 1)],
+    )
+    inv = int(rep.inversions.sum())
+    rows = int(rep.rows.sum())
+    parity = 0
+    for p in rep.parity:
+        parity ^= int(p)
     return spark.createDataFrame(
-        [(int(agg["rows"]), int(agg["parity"]), inv)],
+        [(rows, parity, inv)],
         "rows bigint, parity bigint, inversions bigint",
     )
 

@@ -182,10 +182,12 @@ def test_prep_pipeline_plan_composition(spark):
     BELOW the dedup Exchange (evaluated pre-shuffle, next to the scan),
     partial_min runs map-side, exactly one Exchange exists, and the
     scan reads only (doc_id, text)."""
-    from external_merge_sort_loser_tree_ovc_spark.queries import QUERIES
+    import re
 
     plan = plan_of(QUERIES["q_prep_pipeline"](spark, SF))
-    assert plan.count("Exchange") >= 1
+    # exactly one shuffle (the dedup), counted in the details section
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, f"expected exactly the dedup Exchange, got {n_ex}"
     # formatted tree prints top-down: Exchange above Filter above Scan
     i_ex = plan.index("Exchange")
     i_fl = plan.index("Filter")
