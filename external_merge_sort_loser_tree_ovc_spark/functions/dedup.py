@@ -27,7 +27,10 @@ under either setting.  AQE's skew-join split handles the shuffle side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from . import texthash as T
 from .textops import minhash_oracle_select, minhash_sigs, _DUCK
@@ -353,6 +356,43 @@ SELECT id_a, id_b, hamming FROM (
 
 # --- n-gram Jaccard -------------------------------------------------------------
 
+def _explode_bigrams_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) rows — output identical to
+    ``explode(_bigrams_spark(text_col))``: words come from a literal
+    single-space split that keeps empty tokens (Python ``str.split(' ')``
+    == Spark ``split(col, ' ', -1)``), grams are ``w[i] + ' ' + w[i+1]``,
+    NULL texts produce no rows (matching unnest-of-NULL in the oracle).
+
+    Exists because Catalyst higher-order string lambdas evaluate
+    interpreted per ELEMENT — the HOF explode alone took 26 s at sf1;
+    this Arrow pass does the same concatenations at C-loop speed."""
+    from pyspark.sql.types import StringType
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("g", StringType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids: list[int] = []
+            grams: list[str] = []
+            for i, t in zip(
+                pdf[id_col].to_numpy(dtype=np.int64), pdf[text_col]
+            ):
+                if t is None:
+                    continue
+                ws = t.split(" ")
+                gs = [a + " " + b for a, b in zip(ws, ws[1:])]
+                grams.extend(gs)
+                ids.extend([int(i)] * len(gs))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "g": grams})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def _bigrams_spark(text_col: str) -> str:
     s = f"split({text_col}, ' ')"
     return (
@@ -390,13 +430,18 @@ def ngram_jaccard_pairs(
     bit-exact under either setting.
     """
     grams = (
-        df.select(F.col(id_col), F.explode(F.expr(_bigrams_spark(text_col))).alias("g"))
+        _explode_bigrams_arrow(df, id_col, text_col)
+        # 8-byte shuffle key: every downstream op (distinct, df-cap,
+        # self-join) keys on xxhash64(gram), never the ~25-byte gram
+        # string — the same scale trick the exact-dedup path verifies
+        # through q_dedup_exact_scale (a collision would merge gram
+        # groups and the pair set would diverge from the string-keyed
+        # oracle, so the gate itself checks collision-freeness)
+        .select(F.col(id_col), F.xxhash64(F.col("g")).alias("g"))
         .distinct()
         # the gram index feeds THREE consumers (hot-key cap, per-doc
-        # counts, both sides of the self-join); the explode+distinct is
-        # the expensive part (Catalyst string lambdas are interpreted
-        # per element — 26 s alone at sf1) and recomputed per consumer
-        # without this persist (41 s -> 14 s at sf1, measured)
+        # counts, both sides of the self-join) — persist so the explode
+        # +distinct runs once per action, not once per consumer
         .persist()
     )
     if df_cap is not None:
