@@ -908,7 +908,6 @@ def ann_ivf(
         id_col, vec_col
     )
     probes = qs.mapInPandas(probe, schema=probe_schema)
-    cand = probes.join(assigned, "cluster").filter(F.col("query_id") != F.col("vid"))
 
     out_schema = StructType(
         [
@@ -918,26 +917,48 @@ def ann_ivf(
         ]
     )
 
-    def rerank(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            qm = _quantize_np(np.stack(pdf["qe"].to_numpy()))
-            pm = _quantize_np(np.stack(pdf["e"].to_numpy()))
-            d2 = ((qm - pm) * (qm - pm)).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["vid"].to_numpy(dtype=np.int64),
-                    "dist2": d2,
-                }
-            )
+    # Rerank by COGROUP on cluster, not a row-pair join: the old
+    # probes.join(assigned, "cluster") materialized every
+    # (query, vector) pair with BOTH embeddings attached — O(n_queries
+    # * cell_size) duplicated arrays through the shuffle (1 GB of Arrow
+    # traffic at sf1 for 400 queries).  Cogrouping moves each side ONCE
+    # per cluster; the int64 Gram matrix (|q|^2+|p|^2-2qp, exact — same
+    # arithmetic as the per-pair (q-p)^2 sum) and a per-group top-k run
+    # locally, so only n_probe*k candidate rows per query reach the
+    # final global rank window.  Per-group top-k is lossless: any
+    # global top-k neighbour is in the top-k of its own cluster group.
 
-    # each vector lives in exactly one cluster and a query's probed
-    # clusters are distinct, so (query, neighbor) pairs are already
-    # unique — no distinct() needed
-    ranked = cand.select("query_id", "qe", "vid", "e").mapInPandas(
-        rerank, schema=out_schema
+    def rerank_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "dist2": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "dist2": "int64"})
+        if left.empty or right.empty:
+            return empty
+        qids_ = left["query_id"].to_numpy(dtype=np.int64)
+        qm = _quantize_np(np.stack(left["qe"].to_numpy()))
+        vids = right["vid"].to_numpy(dtype=np.int64)
+        pm = _quantize_np(np.stack(right["e"].to_numpy()))
+        pn = (pm * pm).sum(axis=1)
+        qn = (qm * qm).sum(axis=1)
+        d2 = qn[:, None] + pn[None, :] - 2 * (qm @ pm.T)
+        outs = []
+        for j in range(len(qids_)):
+            mask = vids != qids_[j]
+            cid, cd = vids[mask], d2[j][mask]
+            if len(cid) == 0:
+                continue
+            sel = np.lexsort((cid, cd))[: min(k, len(cid))]
+            outs.append(
+                pd.DataFrame(
+                    {"query_id": qids_[j], "neighbor_id": cid[sel], "dist2": cd[sel]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    ranked = (
+        probes.groupBy("cluster")
+        .cogroup(assigned.groupBy("cluster"))
+        .applyInPandas(rerank_group, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
