@@ -1157,10 +1157,6 @@ def ann_lsh_bucketed(
     qs = src.filter(F.col(id_col).isin([int(q) for q in query_ids])).mapInPandas(
         probe, schema=probe_schema
     )
-    # (query, bucket) rows are distinct and each vid has ONE home bucket
-    # -> candidate (query, vid) pairs are already unique
-    cand = qs.join(bucketed, "bucket").filter(F.col("query_id") != F.col("vid"))
-
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -1169,23 +1165,45 @@ def ann_lsh_bucketed(
         ]
     )
 
-    def rerank(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            qm = _quantize_np(np.stack(pdf["qe"].to_numpy()))
-            pm = _quantize_np(np.stack(pdf["e"].to_numpy()))
-            d2 = ((qm - pm) * (qm - pm)).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["vid"].to_numpy(dtype=np.int64),
-                    "dist2": d2,
-                }
-            )
+    # Rerank by COGROUP on bucket (same shape as ann_ivf's per-cluster
+    # rerank): the row-pair bucket join attached both embeddings to
+    # every (query, vector) candidate; cogrouping moves each side once
+    # per bucket, computes the exact int64 Gram locally, and keeps a
+    # lossless per-group top-k — each vid has ONE home bucket, so a
+    # (query, vid) pair occurs in exactly one group and any global
+    # top-k member is in its own group's top-k.
 
-    ranked = cand.select("query_id", "qe", "vid", "e").mapInPandas(
-        rerank, schema=out_schema
+    def rerank_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "dist2": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "dist2": "int64"})
+        if left.empty or right.empty:
+            return empty
+        qids_ = left["query_id"].to_numpy(dtype=np.int64)
+        qm = _quantize_np(np.stack(left["qe"].to_numpy()))
+        vids = right["vid"].to_numpy(dtype=np.int64)
+        pm = _quantize_np(np.stack(right["e"].to_numpy()))
+        pn = (pm * pm).sum(axis=1)
+        qn = (qm * qm).sum(axis=1)
+        d2 = qn[:, None] + pn[None, :] - 2 * (qm @ pm.T)
+        outs = []
+        for j in range(len(qids_)):
+            mask = vids != qids_[j]
+            cid, cd = vids[mask], d2[j][mask]
+            if len(cid) == 0:
+                continue
+            sel = np.lexsort((cid, cd))[: min(k, len(cid))]
+            outs.append(
+                pd.DataFrame(
+                    {"query_id": qids_[j], "neighbor_id": cid[sel], "dist2": cd[sel]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    ranked = (
+        qs.groupBy("bucket")
+        .cogroup(bucketed.groupBy("bucket"))
+        .applyInPandas(rerank_group, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
