@@ -431,26 +431,36 @@ def ngram_jaccard_pairs(
     """
     grams = (
         _explode_bigrams_arrow(df, id_col, text_col)
-        # 8-byte shuffle key: every downstream op (distinct, df-cap,
-        # self-join) keys on xxhash64(gram), never the ~25-byte gram
-        # string — the same scale trick the exact-dedup path verifies
-        # through q_dedup_exact_scale (a collision would merge gram
-        # groups and the pair set would diverge from the string-keyed
-        # oracle, so the gate itself checks collision-freeness)
-        .select(F.col(id_col), F.xxhash64(F.col("g")).alias("g"))
+        # 16-byte composite shuffle key: every downstream op (distinct,
+        # df-cap, self-join) keys on TWO independent xxhash64 values of
+        # the gram (salted second hash), never the ~25-byte string.
+        # 128 bits keep birthday-collision odds negligible at ANY gram
+        # cardinality (a single 64-bit hash reaches percent-level odds
+        # around 10^9 distinct grams — the design scale); the sf1 gate
+        # additionally cross-checks the pair set against the
+        # string-keyed oracle at its own scale
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("g")).alias("g"),
+            F.xxhash64(F.col("g"), F.lit(0x9E3779B9)).alias("g2"),
+        )
         .distinct()
         # the gram index feeds THREE consumers (hot-key cap, per-doc
         # counts, both sides of the self-join) — persist so the explode
-        # +distinct runs once per action, not once per consumer
+        # +distinct runs once per action, not once per consumer.
+        # Lifetime note: the cache lives until the session clears it
+        # (a lazy-returning function cannot unpersist its own plan);
+        # sweep harnesses (bench.py, sf1_gate.py) clearCache between
+        # queries for exactly this reason
         .persist()
     )
     if df_cap is not None:
-        grams = _drop_hot_keys(grams, ["g"], df_cap)
+        grams = _drop_hot_keys(grams, ["g", "g2"], df_cap)
     counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col(id_col).alias("id_a"), "g")
-    b = grams.select(F.col(id_col).alias("id_b"), "g")
+    a = grams.select(F.col(id_col).alias("id_a"), "g", "g2")
+    b = grams.select(F.col(id_col).alias("id_b"), "g", "g2")
     inter = (
-        a.join(b, "g")
+        a.join(b, ["g", "g2"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))

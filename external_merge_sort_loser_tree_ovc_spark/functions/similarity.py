@@ -723,6 +723,70 @@ def _dist2_to_centroids(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+_RERANK_EMPTY = {"query_id": "int64", "neighbor_id": "int64", "dist2": "int64"}
+
+
+def _gram_topk_group(
+    left: pd.DataFrame, right: pd.DataFrame, k: int
+) -> pd.DataFrame:
+    """Shared cogroup rerank kernel (ann_ivf per-cluster, ann_lsh
+    per-bucket): exact int64 Gram distances of the group's queries
+    (cols query_id, qe) against its vectors (cols vid, e), lossless
+    per-group top-k with the (dist2, neighbor_id) tie-break.
+
+    Memory bound: the query side is chunked so the d2 matrix stays
+    ~64 MB regardless of cell size; the VECTOR side of one group must
+    fit in a task, which is the caller's partitioning knob (IVF: pick
+    n_clusters ~ n/target_cell_rows, the standard sqrt(n)-cells rule;
+    LSH: 2^n_planes buckets) — documented at both call sites.
+
+    Top-k per query is O(n_v) argpartition + a sort of only the
+    boundary-tie candidate set (every element whose distance <= the
+    k-th smallest joins the tie-broken sort, so ties at the boundary
+    resolve by neighbor_id exactly like a full lexsort would).
+    """
+    empty = pd.DataFrame(
+        {"query_id": [], "neighbor_id": [], "dist2": []}
+    ).astype(_RERANK_EMPTY)
+    if left.empty or right.empty:
+        return empty
+    qids_ = left["query_id"].to_numpy(dtype=np.int64)
+    qm = _quantize_np(np.stack(left["qe"].to_numpy()))
+    vids = right["vid"].to_numpy(dtype=np.int64)
+    pm = _quantize_np(np.stack(right["e"].to_numpy()))
+    pn = (pm * pm).sum(axis=1)
+    qn = (qm * qm).sum(axis=1)
+    outs = []
+    step = max(1, (1 << 23) // max(1, len(vids)))  # d2 rows per chunk
+    for s0 in range(0, len(qids_), step):
+        d2 = (
+            qn[s0 : s0 + step, None]
+            + pn[None, :]
+            - 2 * (qm[s0 : s0 + step] @ pm.T)
+        )
+        for j in range(d2.shape[0]):
+            qid = qids_[s0 + j]
+            mask = vids != qid
+            cid, cd = vids[mask], d2[j][mask]
+            if len(cid) == 0:
+                continue
+            kk = min(k, len(cid))
+            if kk < len(cid):
+                part = np.argpartition(cd, kk - 1)
+                thr = cd[part[kk - 1]]
+                cand = np.nonzero(cd <= thr)[0]
+            else:
+                cand = np.arange(len(cid))
+            sel = cand[np.lexsort((cid[cand], cd[cand]))][:kk]
+            outs.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cid[sel], "dist2": cd[sel]}
+                )
+            )
+    return pd.concat(outs, ignore_index=True) if outs else empty
+
+
+
 def kmeans_quantized(
     vectors: DataFrame,
     *,
@@ -928,37 +992,17 @@ def ann_ivf(
     # final global rank window.  Per-group top-k is lossless: any
     # global top-k neighbour is in the top-k of its own cluster group.
 
-    def rerank_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "dist2": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64", "dist2": "int64"})
-        if left.empty or right.empty:
-            return empty
-        qids_ = left["query_id"].to_numpy(dtype=np.int64)
-        qm = _quantize_np(np.stack(left["qe"].to_numpy()))
-        vids = right["vid"].to_numpy(dtype=np.int64)
-        pm = _quantize_np(np.stack(right["e"].to_numpy()))
-        pn = (pm * pm).sum(axis=1)
-        qn = (qm * qm).sum(axis=1)
-        d2 = qn[:, None] + pn[None, :] - 2 * (qm @ pm.T)
-        outs = []
-        for j in range(len(qids_)):
-            mask = vids != qids_[j]
-            cid, cd = vids[mask], d2[j][mask]
-            if len(cid) == 0:
-                continue
-            sel = np.lexsort((cid, cd))[: min(k, len(cid))]
-            outs.append(
-                pd.DataFrame(
-                    {"query_id": qids_[j], "neighbor_id": cid[sel], "dist2": cd[sel]}
-                )
-            )
-        return pd.concat(outs, ignore_index=True) if outs else empty
-
+    # group size knob: one cluster's vectors must fit a task — pick
+    # n_clusters ~ n / target_cell_rows (the standard sqrt(n)-cells
+    # rule) as the table grows; _gram_topk_group chunks the query side
+    # so the distance matrix itself is bounded regardless
     ranked = (
         probes.groupBy("cluster")
         .cogroup(assigned.groupBy("cluster"))
-        .applyInPandas(rerank_group, schema=out_schema)
+        .applyInPandas(
+            lambda left, right: _gram_topk_group(left, right, k),
+            schema=out_schema,
+        )
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
@@ -1173,37 +1217,17 @@ def ann_lsh_bucketed(
     # (query, vid) pair occurs in exactly one group and any global
     # top-k member is in its own group's top-k.
 
-    def rerank_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "dist2": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64", "dist2": "int64"})
-        if left.empty or right.empty:
-            return empty
-        qids_ = left["query_id"].to_numpy(dtype=np.int64)
-        qm = _quantize_np(np.stack(left["qe"].to_numpy()))
-        vids = right["vid"].to_numpy(dtype=np.int64)
-        pm = _quantize_np(np.stack(right["e"].to_numpy()))
-        pn = (pm * pm).sum(axis=1)
-        qn = (qm * qm).sum(axis=1)
-        d2 = qn[:, None] + pn[None, :] - 2 * (qm @ pm.T)
-        outs = []
-        for j in range(len(qids_)):
-            mask = vids != qids_[j]
-            cid, cd = vids[mask], d2[j][mask]
-            if len(cid) == 0:
-                continue
-            sel = np.lexsort((cid, cd))[: min(k, len(cid))]
-            outs.append(
-                pd.DataFrame(
-                    {"query_id": qids_[j], "neighbor_id": cid[sel], "dist2": cd[sel]}
-                )
-            )
-        return pd.concat(outs, ignore_index=True) if outs else empty
-
+    # group size knob: one bucket's vectors must fit a task — bucket
+    # population is n / 2^n_planes on average, so n_planes scales with
+    # the table; _gram_topk_group chunks the query side so the distance
+    # matrix itself is bounded regardless
     ranked = (
         qs.groupBy("bucket")
         .cogroup(bucketed.groupBy("bucket"))
-        .applyInPandas(rerank_group, schema=out_schema)
+        .applyInPandas(
+            lambda left, right: _gram_topk_group(left, right, k),
+            schema=out_schema,
+        )
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (

@@ -8,11 +8,14 @@ any two points of a plan:
    (``Witness.cpp:47``): an order-independent content checksum,
 3. zero lexicographic inversions in sorted output (``Witness.cpp:50-58``).
 
-Spark mapping (SURVEY §2.1): count + parity are one ``agg`` (bit_xor is
-order-insensitive, hence shuffle-safe); the inversion check runs
-per-partition inside ``mapInPandas`` plus a driver-side check that each
-partition's first key is >= the previous partition's last key (global
-order across range partitions).
+Spark mapping (SURVEY §2.1): the FULL witness — count, parity
+(order-insensitive xor fold, hence shuffle-safe), and per-partition
+inversions — rides ONE ``mapInPandas`` pass over the sorted output
+(``sortedness_report`` with ``parity_terms``), plus a driver-side check
+that each partition's first key is >= the previous partition's last key
+(global order across range partitions).  ``witness_summary`` remains
+for witnessing arbitrary points of a plan where no inversion scan is
+wanted.
 """
 
 from __future__ import annotations
@@ -107,7 +110,8 @@ def sortedness_report(
                 mix = np.zeros(len(pdf), dtype=np.int64)
                 for c, w in terms:
                     mix += pdf[c].to_numpy(dtype=np.int64) * np.int64(w)
-                parity ^= int(np.bitwise_xor.reduce(mix)) if len(mix) else 0
+                # pdf is non-empty here, so mix always has elements
+                parity ^= int(np.bitwise_xor.reduce(mix))
             sub = pdf[key_list]
             if prev_tail is not None:
                 sub = pd.concat([prev_tail, sub], ignore_index=True)

@@ -110,8 +110,11 @@ NEARDUP_DIST2 = 1_100_000
 DEDUP_BAND_CAP = 64
 NGRAM_DF_CAP = 64
 SORT_KEYS = ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
-PARITY_SQL = (
-    "bit_xor(l_orderkey * 1000003 + CAST(l_linenumber AS BIGINT) * 7919 + l_partkey)"
+# witness checksum: ONE source of truth for both the engine-side numpy
+# fold (sortedness_report parity_terms) and the oracle SQL
+PARITY_TERMS = [("l_orderkey", 1000003), ("l_linenumber", 7919), ("l_partkey", 1)]
+PARITY_SQL = "bit_xor({})".format(
+    " + ".join(f"CAST({c} AS BIGINT) * {w}" for c, w in PARITY_TERMS)
 )
 
 
@@ -160,11 +163,7 @@ def q_sort_witness(spark, sf_dir):
     # inversion pass over the sorted output — no second aggregation
     # job, no persist of the sorted table (the parity fold matches
     # PARITY_SQL's int64 arithmetic exactly)
-    rep = sortedness_report(
-        out,
-        SORT_KEYS,
-        parity_terms=[("l_orderkey", 1000003), ("l_linenumber", 7919), ("l_partkey", 1)],
-    )
+    rep = sortedness_report(out, SORT_KEYS, parity_terms=PARITY_TERMS)
     inv = int(rep.inversions.sum())
     rows = int(rep.rows.sum())
     parity = 0

@@ -705,3 +705,28 @@ def test_null_text_parity_engine_vs_oracle(spark):
     exp = con.sql(simhash_hamming_oracle_sql("documents", "doc_id")).df()
     assert sorted(zip(got.id_a, got.id_b)) == sorted(zip(exp.id_a, exp.id_b))
     assert (0, 2) in set(zip(got.id_a, got.id_b))  # identical docs pair
+
+
+def test_arrow_bigrams_match_catalyst_hof(spark, docs):
+    """_explode_bigrams_arrow (the ngram engine path) must produce the
+    exact multiset of (id, gram) rows as the Catalyst HOF expression it
+    replaced (_bigrams_spark) — the HOF stays as the executable spec of
+    the gram definition, and this equivalence is what lets the oracle
+    keep using the SQL form."""
+    from pyspark.sql import functions as F
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        _bigrams_spark,
+        _explode_bigrams_arrow,
+    )
+
+    arrow = _explode_bigrams_arrow(docs, "doc_id", "text").toPandas()
+    hof = (
+        docs.select(
+            F.col("doc_id"), F.explode(F.expr(_bigrams_spark("text"))).alias("g")
+        )
+        .toPandas()
+    )
+    a = sorted(zip(arrow.doc_id, arrow.g))
+    h = sorted(zip(hof.doc_id, hof.g))
+    assert a == h, f"{len(a)} vs {len(h)} gram rows"
