@@ -18,9 +18,16 @@ Per-row mix: each column maps to a nonnegative int < 2^31 via
 dialect-shared arithmetic —
 
   * integers: the value itself (mod 2^31-1, sign-adjusted)
-  * strings: the texthash 31-polynomial over the first 8 chars + the
-    last 8 chars + the length (whash_sql is pytest-pinned identical
-    across Spark and DuckDB down to ascii() semantics)
+  * strings: md5 of the WHOLE string (both engines emit the identical
+    32-char lowercase hex digest for identical UTF-8 input), folded to
+    an int by the texthash 31-polynomial over the digest's four 8-char
+    windows plus the original length.  Full-string sensitivity: any
+    byte changing anywhere in the string changes the digest, so a
+    changed row flips the mix with probability ~1 - 2^-31.  (Round 4
+    hashed only the first 8 + last 8 chars + length, so a
+    length-preserving corruption in the MIDDLE of a long string —
+    e.g. q_doc_chunks' 64-token chunk_text — passed undetected; r4
+    advice.)
   * dates/timestamps: cast to the dialect's canonical string, then the
     string path (both engines print 'YYYY-MM-DD HH:MM:SS' for
     whole-second timestamps)
@@ -88,13 +95,20 @@ def _kind(type_name: str) -> str:
 
 
 def _str_int(expr: str) -> str:
-    """Cross-dialect string -> int in [0, M31): first-8 + last-8 char
-    polynomials + length (whash_sql alone only sees 8 chars)."""
-    first8 = whash_sql(f"substr({expr}, 1, 8)")
-    last8 = whash_sql(f"substr({expr}, greatest(1, length({expr}) - 7), 8)")
-    return (
-        f"(({first8}) + 31 * ({last8}) + 131 * length({expr})) % {M31}"
+    """Cross-dialect string -> int in [0, M31) with FULL-string
+    sensitivity: md5 the whole string (Spark and DuckDB both emit the
+    identical 32-char lowercase hex digest for the same UTF-8 bytes),
+    then whash-fold the digest's four 8-char windows + the original
+    length.  Any single-byte change anywhere in the string flips the
+    digest, unlike a first-8/last-8 sample (r4 advice: a
+    length-preserving middle corruption of a long string must not
+    collide)."""
+    d = f"md5({expr})"
+    windows = [whash_sql(f"substr({d}, {1 + 8 * i}, 8)") for i in range(4)]
+    folded = " + ".join(
+        f"{w} * ({win})" for w, win in zip((1, 31, 131, 257), windows)
     )
+    return f"(({folded}) + 8191 * length({expr})) % {M31}"
 
 
 def _col_int(name: str, kind: str, dialect: str) -> str:

@@ -433,16 +433,23 @@ def ngram_jaccard_pairs(
         _explode_bigrams_arrow(df, id_col, text_col)
         # 16-byte composite shuffle key: every downstream op (distinct,
         # df-cap, self-join) keys on TWO independent xxhash64 values of
-        # the gram (salted second hash), never the ~25-byte string.
-        # 128 bits keep birthday-collision odds negligible at ANY gram
-        # cardinality (a single 64-bit hash reaches percent-level odds
-        # around 10^9 distinct grams — the design scale); the sf1 gate
-        # additionally cross-checks the pair set against the
-        # string-keyed oracle at its own scale
+        # the gram, never the ~25-byte string.  128 bits keep
+        # birthday-collision odds negligible at ANY gram cardinality (a
+        # single 64-bit hash reaches percent-level odds around 10^9
+        # distinct grams — the design scale); the sf1 gate additionally
+        # cross-checks the pair set against the string-keyed oracle at
+        # its own scale.
+        # Argument-order matters for independence: Spark's multi-arg
+        # xxhash64 SEED-CHAINS left to right (each arg is hashed with
+        # the running hash as seed), so xxhash64(g, lit) would be a
+        # deterministic function of xxhash64(g) alone — two grams
+        # colliding on the first hash would always collide on the
+        # second (r4 advice).  Leading with the literal makes g2 =
+        # XXH64(g, seed=XXH64(lit)) — an independently-seeded hash of g.
         .select(
             F.col(id_col),
             F.xxhash64(F.col("g")).alias("g"),
-            F.xxhash64(F.col("g"), F.lit(0x9E3779B9)).alias("g2"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("g")).alias("g2"),
         )
         .distinct()
         # the gram index feeds THREE consumers (hot-key cap, per-doc

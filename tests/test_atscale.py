@@ -79,6 +79,27 @@ def test_fingerprint_detects_corruption():
     assert fp(base.iloc[::-1].reset_index(drop=True)) == ref
 
 
+def test_fingerprint_detects_middle_of_long_string_corruption():
+    """Length-preserving corruption in the MIDDLE of a long string must
+    flip the fingerprint.  The round-4 scheme hashed only the first 8 +
+    last 8 chars + length, so this exact corruption (the shape a long
+    q_doc_chunks chunk_text could suffer) collided with probability 1
+    (r4 advice); the md5 full-string fold catches it."""
+    con = duckdb.connect()
+    cols = [("s", "VARCHAR")]
+
+    def fp(df):
+        con.register("t", df)
+        out = con.execute(duck_fingerprint_sql("SELECT * FROM t", cols)).fetchone()
+        con.unregister("t")
+        return out
+
+    long = "prefix01" + "a" * 48 + "suffix99"
+    corrupt = "prefix01" + "a" * 20 + "B" + "a" * 27 + "suffix99"
+    assert len(long) == len(corrupt) and long[:8] == corrupt[:8] and long[-8:] == corrupt[-8:]
+    assert fp(pd.DataFrame({"s": [long]})) != fp(pd.DataFrame({"s": [corrupt]}))
+
+
 def test_row_mix_rejects_unfingerprintable():
     with pytest.raises(ValueError, match="unsupported"):
         row_mix_sql([("a", "ARRAY<FLOAT>")], "spark")

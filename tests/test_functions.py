@@ -152,6 +152,59 @@ def test_neardup_pairs_vs_oracle(spark, emb):
     assert len(out) > 0
 
 
+def test_neardup_partition_count_invariance(spark, emb):
+    """r4 regression guard: the fallback band's cogroup silently lost
+    pairs when its two grouping-key types differed (int32 explode vs
+    int64 pmod) — and the loss was PARTITIONING-dependent: 15/15 oracle
+    pairs at 8 shuffle partitions (why CI was green), 9/15 under the
+    driver's config, 1/15 at 200.  The pair set must be identical
+    across partition counts and equal to the exact path's."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_oracle_sql,
+        neardup_pairs,
+    )
+
+    thr = int(
+        _duck(neardup_oracle_sql("embeddings", 10**18))["dist2"].quantile(0.001)
+    )
+    key = lambda d: set(zip(d.id_a, d.id_b, d.dist2))  # noqa: E731
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    got = {}
+    try:
+        for parts in (8, 64):
+            # conf is read BOTH at plan build (grid size) and execution
+            # (shuffle fan-out) — set it around the whole round trip
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            got[parts] = key(neardup_pairs(emb, thr).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    exact = key(neardup_pairs(emb, thr, method="exact").toPandas())
+    assert len(exact) > 0
+    assert got[8] == exact
+    assert got[64] == exact
+
+
+def test_cogroup_apply_rejects_key_type_mismatch(spark):
+    """The plan-build contract guarding the whole cogroup pattern:
+    mismatched grouping-key dataTypes are silent group mis-alignment in
+    Spark (each key delivered once per side), so the helper must refuse
+    them loudly instead."""
+    from pyspark.sql import functions as F
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.grouped import (
+        cogroup_apply,
+    )
+
+    left = spark.range(4).select(F.col("id").cast("int").alias("k"), "id")
+    right = spark.range(4).select(F.col("id").alias("k"), "id")
+    with pytest.raises(TypeError, match="dataTypes differ"):
+        cogroup_apply(left, ["k"], right, ["k"], lambda a, b: a, left.schema)
+    with pytest.raises(TypeError, match="arity"):
+        cogroup_apply(left, ["k", "id"], right, ["k"], lambda a, b: a, left.schema)
+    # matching types build fine (no action run — plan construction only)
+    cogroup_apply(right, ["k"], right, ["k"], lambda a, b: a, right.schema)
+
+
 def test_ann_lsh_recall(spark, emb):
     from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
         ann_lsh_bucketed,
@@ -522,7 +575,7 @@ def test_ppm_decode_roundtrip_and_errors(spark):
 
 def test_ann_lsh_gate_config_recall_clustered(spark, emb):
     """The DRIVER-VISIBLE q_ann_lsh configuration: clustered_embeddings
-    over the gate ids, n_planes=8, n_probe_planes=3.  Recall vs exact
+    over the gate ids, n_planes=8, n_probe_planes=4.  Recall vs exact
     top-k on the same clustered vectors must be >= 0.9 — the driver's
     rows-only check can't see recall, so this pin is the evidence that
     the gate fixture measures the operator, not the isotropic
