@@ -105,6 +105,10 @@ KNN_QUERY_MOD = 29
 ANN_K = 5
 ANN_QUERY_MOD = 50
 NEARDUP_DIST2 = 1_100_000
+# probe-regime threshold (q_ann_neardup_probe): small enough that ~47%
+# of the gate vectors keep <= max_probe_planes uncertain planes, so the
+# multi-probe equi-join path carries real driver-checked pairs
+NEARDUP_PROBE_DIST2 = 10_000
 # production skew guards, ON in the gate queries so the verified config
 # IS the 100 TB config (r2 verdict item 2); oracles mirror the same caps
 DEDUP_BAND_CAP = 64
@@ -352,6 +356,37 @@ def q_ann_cosine(spark, sf_dir):
 
 def q_ann_neardup(spark, sf_dir):
     return neardup_pairs(_read(spark, sf_dir, "embeddings"), NEARDUP_DIST2)
+
+
+def q_ann_neardup_probe(spark, sf_dir):
+    """Second neardup gate regime (r4 verdict #4): at NEARDUP_DIST2
+    sqrt(dim*thr) exceeds every gate vector's max projection, so 100%
+    of rows are over-cap and only the fallback band runs under the
+    driver — the bounded multi-probe machinery was driver-unverified.
+
+    This query derives a PAIRED fixture in shared SQL: each embedding
+    is emitted twice (vec_id 2j and 2j+1, the odd copy's first element
+    +0.05), creating one true pair per source row at quantized dist2
+    ~ 2500, while at thr=NEARDUP_PROBE_DIST2 the uncertain-plane count
+    stays <= max_probe_planes for ~47% of rows (measured on the gate
+    embeddings).  Both the probe equi-join path AND the grid fallback
+    band therefore contribute driver-checked output rows."""
+    emb = _read(spark, sf_dir, "embeddings")
+    paired = emb.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("c"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") * 2 + F.col("c")).alias("vec_id"),
+        # float->double cast is exact and +0.05 is one correctly
+        # rounded double add in both engines, so the derived doubles
+        # (and their quantization) match the oracle bit-for-bit
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 AND c = 1 "
+            "THEN CAST(x AS DOUBLE) + 0.05 ELSE CAST(x AS DOUBLE) END)"
+        ).alias("embedding"),
+    )
+    return neardup_pairs(paired, NEARDUP_PROBE_DIST2)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1027,6 +1062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": q_ann_topk,
     "q_ann_cosine": q_ann_cosine,
     "q_ann_neardup": q_ann_neardup,
+    "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_multimodal_meta": q_multimodal_meta,
@@ -1093,6 +1129,15 @@ ORACLES: dict[str, str] = {
     "q_ann_topk": _oracle_ann_topk(),
     "q_ann_cosine": _oracle_ann_cosine(),
     "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
+    "q_ann_neardup_probe": neardup_oracle_sql(
+        # the identical paired-fixture derivation in DuckDB (list_transform
+        # index is 1-based where Spark's lambda index is 0-based)
+        "(SELECT vec_id * 2 + c AS vec_id, "
+        "list_transform(embedding, (x, i) -> CASE WHEN i = 1 AND c = 1 "
+        "THEN CAST(x AS DOUBLE) + 0.05 ELSE CAST(x AS DOUBLE) END) AS embedding "
+        "FROM embeddings, (SELECT unnest([0, 1]) AS c)) pairsrc",
+        NEARDUP_PROBE_DIST2,
+    ),
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),
     "q_multimodal_decode": ppm_decode_oracle_sql("documents", "doc_id"),

@@ -184,6 +184,50 @@ def test_neardup_partition_count_invariance(spark, emb):
     assert got[64] == exact
 
 
+def test_neardup_probe_gate_population_is_mixed(spark, emb):
+    """q_ann_neardup_probe exists to driver-verify the UNDER-cap
+    multi-probe path (at NEARDUP_DIST2 every gate row is over-cap and
+    only the fallback band runs — r4 verdict #4).  Contract: at
+    NEARDUP_PROBE_DIST2 the derived paired fixture must keep BOTH
+    bands populated — some rows under-cap (probe equi-join) and some
+    over-cap (fallback) — or the second gate query stops testing what
+    it was added for."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        _bucketize_frame,
+    )
+    from external_merge_sort_loser_tree_ovc_spark.queries import NEARDUP_PROBE_DIST2
+
+    # rebuild the same derived fixture the gate query uses
+    from pyspark.sql import functions as F
+
+    d = emb.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("c"), "vec_id", "embedding"
+    ).select(
+        (F.col("vec_id") * 2 + F.col("c")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 AND c = 1 "
+            "THEN CAST(x AS DOUBLE) + 0.05 ELSE CAST(x AS DOUBLE) END)"
+        ).alias("embedding"),
+    )
+    pdf = d.toPandas()
+    out = _bucketize_frame(
+        pdf,
+        id_col="vec_id",
+        vec_col="embedding",
+        n_planes=8,
+        thr=NEARDUP_PROBE_DIST2,
+        probe=True,
+        max_probe_planes=4,
+    )
+    n_over = (out.bucket == -1).sum()
+    n_under_rows = out[out.bucket >= 0].vid.nunique()
+    frac_under = n_under_rows / pdf.vec_id.nunique()
+    assert n_over > 0, "no over-cap rows: fallback band untested"
+    assert 0.2 <= frac_under <= 0.8, (
+        f"under-cap fraction {frac_under:.0%} outside the mixed band"
+    )
+
+
 def test_cogroup_apply_rejects_key_type_mismatch(spark):
     """The plan-build contract guarding the whole cogroup pattern:
     mismatched grouping-key dataTypes are silent group mis-alignment in
