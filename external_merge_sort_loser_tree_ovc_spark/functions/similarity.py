@@ -538,22 +538,14 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
         return bucketize
 
     src = vectors.select(id_col, vec_col)
-    # home_df feeds BOTH the equi-join and the over-cap fallback
-    # cross-join below — persist it so the whole-table quantize+project
-    # mapInPandas pass runs once per action, not once per consumer
-    # (even an empty fallback band still scans its input to prove it
-    # empty)
+    # home_df feeds BOTH the probe-band bucket cogroup and the over-cap
+    # fallback grid cogroup below — persist it so the whole-table
+    # quantize+project mapInPandas pass runs once per action, not once
+    # per consumer (even an empty fallback band still scans its input
+    # to prove it empty)
     home_df = src.mapInPandas(make_bucketizer(False), schema=bucket_schema).persist()
     probe_df = src.mapInPandas(make_bucketizer(True), schema=bucket_schema).select(
         F.col("vid").alias("pvid"), "bucket", F.col("e").alias("pe")
-    )
-    # probe x home bucket equi-join; id< keeps each unordered pair once
-    # per bucket side; every true pair meets through the smaller id's
-    # probe set (under-cap) or the fallback band (over-cap)
-    cand = (
-        probe_df.filter(F.col("bucket") >= 0)
-        .join(home_df, "bucket")
-        .filter(F.col("pvid") < F.col("vid"))
     )
     out_schema = StructType(
         [
@@ -563,24 +555,66 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
         ]
     )
 
-    def verify(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            a = _quantize_np(np.stack(pdf["pe"].to_numpy()))
-            b = _quantize_np(np.stack(pdf["e"].to_numpy()))
-            d2 = ((a - b) * (a - b)).sum(axis=1)
-            keep = d2 <= thr
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "id_a": pdf["pvid"].to_numpy(dtype=np.int64)[keep],
-                        "id_b": pdf["vid"].to_numpy(dtype=np.int64)[keep],
-                        "dist2": d2[keep],
-                    }
+    def nlj_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        """Exact blocked NLJ kernel shared by BOTH bands: all
+        (p_id < h_id, dist2 <= thr) pairs between the group's probe
+        rows (pvid, pe) and home rows (vid, e), int64 Gram distances,
+        probe side chunked so the d2 matrix stays ~64 MB."""
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dist2": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "dist2": "int64"}
+            )
+        p_ids = left["pvid"].to_numpy(dtype=np.int64)
+        p_mat = _quantize_np(np.stack(left["pe"].to_numpy()))
+        h_ids = right["vid"].to_numpy(dtype=np.int64)
+        h_mat = _quantize_np(np.stack(right["e"].to_numpy()))
+        h_norm = (h_mat * h_mat).sum(axis=1)
+        outs = []
+        step = max(1, (1 << 23) // max(1, len(h_ids)))
+        for s in range(0, len(p_ids), step):
+            pm = p_mat[s : s + step]
+            pn = (pm * pm).sum(axis=1)
+            d2 = pn[:, None] + h_norm[None, :] - 2 * (pm @ h_mat.T)
+            ii, jj = np.nonzero(
+                (d2 <= thr) & (p_ids[s : s + step, None] < h_ids[None, :])
+            )
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": p_ids[s + ii],
+                            "id_b": h_ids[jj],
+                            "dist2": d2[ii, jj],
+                        }
+                    )
                 )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dist2": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "dist2": "int64"}
+            )
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = cand.select("pvid", "pe", "vid", "e").mapInPandas(verify, schema=out_schema)
+    # Probe band: per-BUCKET cogroup NLJ, not a row-pair equi-join.
+    # The old probe.join(home_df, "bucket") attached BOTH embeddings to
+    # every candidate pair — O(candidates * dim) Arrow traffic, which
+    # the round-5 probe-regime gate query exposed at sf1 (147 s; the
+    # r4 all-over-cap gate never exercised this band at scale).
+    # Cogrouping on the bucket moves each home row once per bucket and
+    # each probe copy once; the exact int64 distance check runs
+    # locally.  Coverage: every true pair meets through the smaller
+    # id's probe set (under-cap: its probes reach the larger id's home
+    # bucket — unique per pair, so no duplicates) or the fallback band
+    # (over-cap).  Group size is n/2^n_planes home rows on average —
+    # n_planes is the partitioning knob as the table grows; the kernel
+    # chunks the probe side so the distance matrix stays bounded.
+    pairs = cogroup_apply(
+        probe_df.filter(F.col("bucket") >= 0),
+        ["bucket"],
+        home_df,
+        ["bucket"],
+        nlj_block,
+        out_schema,
+    )
 
     # Over-cap fallback band: blocked nested-loop join at GRID-CELL
     # granularity via cogroup, NOT a row-pair crossJoin.  The old
@@ -644,44 +678,8 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
         "e",
     )
 
-    def fb_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "dist2": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "dist2": "int64"}
-            )
-        p_ids = left["pvid"].to_numpy(dtype=np.int64)
-        p_mat = _quantize_np(np.stack(left["pe"].to_numpy()))
-        h_ids = right["vid"].to_numpy(dtype=np.int64)
-        h_mat = _quantize_np(np.stack(right["e"].to_numpy()))
-        h_norm = (h_mat * h_mat).sum(axis=1)
-        outs = []
-        # chunk the probe side so the d2 matrix stays ~64 MB
-        step = max(1, (1 << 23) // max(1, len(h_ids)))
-        for s in range(0, len(p_ids), step):
-            pm = p_mat[s : s + step]
-            pn = (pm * pm).sum(axis=1)
-            d2 = pn[:, None] + h_norm[None, :] - 2 * (pm @ h_mat.T)
-            ii, jj = np.nonzero(
-                (d2 <= thr) & (p_ids[s : s + step, None] < h_ids[None, :])
-            )
-            if len(ii):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": p_ids[s + ii],
-                            "id_b": h_ids[jj],
-                            "dist2": d2[ii, jj],
-                        }
-                    )
-                )
-        if not outs:
-            return pd.DataFrame({"id_a": [], "id_b": [], "dist2": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "dist2": "int64"}
-            )
-        return pd.concat(outs, ignore_index=True)
-
     fb_pairs = cogroup_apply(
-        oc_rep, ["gcell"], home_blk, ["gcell"], fb_block, out_schema
+        oc_rep, ["gcell"], home_blk, ["gcell"], nlj_block, out_schema
     )
 
     # a pair can meet in several probe buckets (multi-probe) -> distinct
@@ -746,6 +744,54 @@ d AS (
   FROM q a JOIN q b ON a.vid < b.vid
 )
 SELECT id_a, id_b, dist2 FROM d WHERE dist2 <= {dist2_max}
+"""
+
+
+# deterministic id-sample predicate shared by the sf1 sampled oracle
+# (DuckDB side) and the Spark-result filter: pure int64 arithmetic,
+# identical in both dialects.  keep/mod ~ the sampled fraction.
+_SAMPLE_MIX = 2_654_435_761  # Knuth multiplicative constant, odd
+_SAMPLE_MOD = 1_000_000_007
+
+
+def _sample_pred(col: str, mod: int, keep: int) -> str:
+    return f"((({col} * {_SAMPLE_MIX}) % {_SAMPLE_MOD}) % {mod}) < {keep}"
+
+
+def neardup_sample_filter_sql(*, mod: int = 100, keep: int = 5) -> str:
+    """Predicate selecting result pairs that TOUCH the id sample —
+    applied to the engine's full neardup output before fingerprinting."""
+    return f"({_sample_pred('id_a', mod, keep)}) OR ({_sample_pred('id_b', mod, keep)})"
+
+
+def neardup_sampled_oracle_sql(
+    table: str,
+    dist2_max: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mod: int = 100,
+    keep: int = 5,
+) -> str:
+    """Brute-force oracle restricted to pairs touching a deterministic
+    ~keep/mod id sample — O((keep/mod) * n^2) instead of O(n^2), which
+    makes a CONTENT check tractable in DuckDB at sf1 (r4 verdict #3:
+    the sf1 neardup row was rows-only with criterion n >= 0, so a
+    wrong-answer regression sailed through it).  Emits normalized
+    (id_a < id_b) distinct pairs; compare against the engine's full
+    output filtered by ``neardup_sample_filter_sql`` (same predicate,
+    same integer arithmetic)."""
+    qe = _quant_expr_duck(vec_col)
+    return f"""
+WITH q AS (SELECT {id_col} AS vid, {qe} AS e FROM {table}),
+s AS (SELECT * FROM q WHERE {_sample_pred('vid', mod, keep)}),
+d AS (
+  SELECT LEAST(a.vid, b.vid) AS id_a, GREATEST(a.vid, b.vid) AS id_b,
+         CAST(list_sum(list_transform(a.e, (x, ixv) ->
+           (x - b.e[ixv]) * (x - b.e[ixv]))) AS BIGINT) AS dist2
+  FROM s a JOIN q b ON a.vid <> b.vid
+)
+SELECT DISTINCT id_a, id_b, dist2 FROM d WHERE dist2 <= {dist2_max}
 """
 
 

@@ -109,6 +109,15 @@ NEARDUP_DIST2 = 1_100_000
 # of the gate vectors keep <= max_probe_planes uncertain planes, so the
 # multi-probe equi-join path carries real driver-checked pairs
 NEARDUP_PROBE_DIST2 = 10_000
+# the paired-fixture derivation in DuckDB (list_transform index is
+# 1-based where Spark's lambda index is 0-based); shared by the driver
+# oracle and the sf1 sampled oracle
+NEARDUP_PROBE_SRC = (
+    "(SELECT vec_id * 2 + c AS vec_id, "
+    "list_transform(embedding, (x, i) -> CASE WHEN i = 1 AND c = 1 "
+    "THEN CAST(x AS DOUBLE) + 0.05 ELSE CAST(x AS DOUBLE) END) AS embedding "
+    "FROM embeddings, (SELECT unnest([0, 1]) AS c)) pairsrc"
+)
 # production skew guards, ON in the gate queries so the verified config
 # IS the 100 TB config (r2 verdict item 2); oracles mirror the same caps
 DEDUP_BAND_CAP = 64
@@ -1130,13 +1139,7 @@ ORACLES: dict[str, str] = {
     "q_ann_cosine": _oracle_ann_cosine(),
     "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
     "q_ann_neardup_probe": neardup_oracle_sql(
-        # the identical paired-fixture derivation in DuckDB (list_transform
-        # index is 1-based where Spark's lambda index is 0-based)
-        "(SELECT vec_id * 2 + c AS vec_id, "
-        "list_transform(embedding, (x, i) -> CASE WHEN i = 1 AND c = 1 "
-        "THEN CAST(x AS DOUBLE) + 0.05 ELSE CAST(x AS DOUBLE) END) AS embedding "
-        "FROM embeddings, (SELECT unnest([0, 1]) AS c)) pairsrc",
-        NEARDUP_PROBE_DIST2,
+        NEARDUP_PROBE_SRC, NEARDUP_PROBE_DIST2
     ),
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),

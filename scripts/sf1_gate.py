@@ -30,8 +30,15 @@ sys.path.insert(0, REPO)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # oracles that are O(n^2) in a base table at sf1 (DuckDB-side cost, not
-# an engine limitation) run rows-only instead; recorded as such
-QUADRATIC_ORACLES = {"q_ann_neardup"}
+# an engine limitation) run a SAMPLED content check instead: the DuckDB
+# side brute-forces only pairs touching a deterministic ~5% id sample
+# (O(0.05*n^2), tractable at 20k vectors) and the Spark side filters
+# its full output with the same predicate before fingerprinting.  r4
+# verdict #3: the old rows-only criterion here was literally n >= 0 —
+# it recorded "ran without crashing" as rows_match=true while the
+# operator was returning wrong answers.
+QUADRATIC_ORACLES = {"q_ann_neardup", "q_ann_neardup_probe"}
+SAMPLE_MOD, SAMPLE_KEEP = 100, 5
 
 
 def main() -> None:
@@ -68,6 +75,27 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
         )
 
+    from pyspark.sql import functions as F
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_sample_filter_sql,
+        neardup_sampled_oracle_sql,
+    )
+    from external_merge_sort_loser_tree_ovc_spark.queries import (
+        NEARDUP_DIST2,
+        NEARDUP_PROBE_DIST2,
+        NEARDUP_PROBE_SRC,
+    )
+
+    sampled_oracle = {
+        "q_ann_neardup": neardup_sampled_oracle_sql(
+            "embeddings", NEARDUP_DIST2, mod=SAMPLE_MOD, keep=SAMPLE_KEEP
+        ),
+        "q_ann_neardup_probe": neardup_sampled_oracle_sql(
+            NEARDUP_PROBE_SRC, NEARDUP_PROBE_DIST2, mod=SAMPLE_MOD, keep=SAMPLE_KEEP
+        ),
+    }
+
     names = list(QUERIES) if not args.only else args.only.split(",")
     results: dict[str, dict] = {}
     for name in names:
@@ -75,7 +103,18 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             sdf = QUERIES[name](spark, args.sf_dir)
-            if name in ORACLES and name not in QUADRATIC_ORACLES:
+            if name in QUADRATIC_ORACLES:
+                # content check on the deterministic id sample: same
+                # predicate, same int64 arithmetic, both engines
+                sdf = sdf.filter(
+                    F.expr(neardup_sample_filter_sql(mod=SAMPLE_MOD, keep=SAMPLE_KEEP))
+                )
+                oracle_sql = sampled_oracle[name]
+                mode = f"sampled_oracle ({SAMPLE_KEEP}% ids)"
+            else:
+                oracle_sql = ORACLES.get(name)
+                mode = "fingerprint"
+            if oracle_sql is not None:
                 cols = [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields]
                 fp_s = spark_fingerprint(sdf).collect()[0].asDict()
                 rec["spark_sec"] = round(time.perf_counter() - t0, 2)
@@ -84,7 +123,7 @@ def main() -> None:
                     zip(
                         ("n_rows", "xmix", "smix"),
                         con.execute(
-                            duck_fingerprint_sql(ORACLES[name], cols)
+                            duck_fingerprint_sql(oracle_sql, cols)
                         ).fetchone(),
                     )
                 )
@@ -94,37 +133,44 @@ def main() -> None:
                     hash_match=fp_s == fp_d,
                     spark_rows=fp_s["n_rows"],
                     oracle_rows=fp_d["n_rows"],
-                    mode="fingerprint",
+                    checked=True,
+                    mode=mode,
                 )
             else:
+                # approximate-by-design (lsh/ivf): no oracle exists;
+                # record honestly as an unchecked smoke run, NOT as a
+                # match (r4 verdict #3)
                 n = sdf.count()
                 rec.update(
                     spark_rows=n,
-                    rows_match=n >= 0,
+                    rows_match=None,
                     hash_match=None,
-                    mode=(
-                        "rows_only (quadratic oracle at sf1)"
-                        if name in QUADRATIC_ORACLES
-                        else "rows_only (approximate by design)"
-                    ),
+                    checked=False,
+                    mode="smoke (approximate by design; recall gated in pytest)",
                     spark_sec=round(time.perf_counter() - t0, 2),
                 )
         except Exception as e:  # noqa: BLE001 — gate must record, not die
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
             rec["rows_match"] = rec["hash_match"] = False
+            rec["checked"] = True
         results[name] = rec
         # release operator-internal persists between queries
         spark.catalog.clearCache()
-        status = "OK " if rec.get("hash_match") or rec.get("hash_match") is None and rec["err"] is None else "FAIL"
+        ok = rec["err"] is None and (
+            rec["hash_match"] or not rec.get("checked", True)
+        )
+        status = "OK " if ok else "FAIL"
         print(f"{status} {name} {json.dumps(rec)[:200]}", flush=True)
 
     spark.stop()
     full = sum(1 for r in results.values() if r.get("hash_match"))
+    smoke = sum(1 for r in results.values() if not r.get("checked", True))
     doc = {
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "n_queries": len(results),
         "full_match": full,
+        "smoke_unchecked": smoke,
         "results": results,
     }
     with open(args.out, "w") as f:
