@@ -85,32 +85,37 @@ def test_text_byte_identical_per_url(spark):
 
 
 def test_neardup_lsh_plan_shape(spark):
-    """The 100 TB contracts for the LSH near-dup path: the MAIN
-    candidate path is a bucket EQUI-join, and plan construction launches
-    no Spark job (no driver collect).  Since r3 the plan additionally
-    carries EXACTLY ONE non-equi join: the bounded-probe fallback band
-    (over-cap rows x home table) — it is fed only by bucket == -1 marker
-    rows, so it is empty whenever multi-probe stays under the cap, and
-    it is the EXPLICIT form of the brute-force work the old unbounded
-    multi-probe hid as 2^n_planes shuffle amplification."""
+    """The 100 TB contracts for the LSH near-dup path: NO row-pair join
+    anywhere — BOTH bands are cogrouped block NLJs (r5: the probe band
+    too; its old bucket equi-join attached two embedding copies to
+    every candidate pair, O(candidates * dim) Arrow traffic, 147 s at
+    sf1 in the probe-regime gate query), and plan construction launches
+    no Spark job (no driver collect).  The fallback band is fed only by
+    bucket == -1 marker rows, so it is empty whenever multi-probe stays
+    under the cap — the EXPLICIT form of the brute-force work the old
+    unbounded multi-probe hid as 2^n_planes shuffle amplification."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
         neardup_pairs,
     )
 
     plan = plan_of(neardup_pairs(emb, 10**6))
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     import re
 
-    # r4: the fallback band is a COGROUPED block nested-loop join
-    # (FlatMapCoGroupsInPandas over hash-split home blocks), never a
-    # row-pair cross join — the old CartesianProduct materialized
-    # O(n_overcap * n_home) embedding-pair rows through Arrow (~400 GB
-    # and a near-serial stage at sf1 20k x 20k, caught by the sf1 gate)
-    nl = len(re.findall(r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)",
-                        plan, re.M))
-    assert nl == 0, f"fallback band must not be a row-pair cross join, got {nl}"
-    assert "FlatMapCoGroupsInPandas" in plan
+    # no row-pair join of ANY kind: candidates never materialize with
+    # embedding payloads attached
+    nl = len(
+        re.findall(
+            r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin|"
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            plan,
+            re.M,
+        )
+    )
+    assert nl == 0, f"neardup must not row-pair-join candidate rows, got {nl}"
+    # both bands present: probe-bucket cogroup + fallback grid cogroup
+    ncg = plan.count("FlatMapCoGroupsInPandas")
+    assert ncg >= 2, f"expected probe + fallback cogroups, got {ncg}"
     # the fallback branch must be gated on the marker rows
     assert "= -1" in plan or "-1)" in plan
 
