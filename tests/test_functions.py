@@ -228,6 +228,63 @@ def test_neardup_probe_gate_population_is_mixed(spark, emb):
     )
 
 
+def test_gram_topk_group_boundary_ties_property():
+    """_gram_topk_group is the shared rerank kernel under three gate
+    queries (IVF, LSH, and the flagship's ANN composition).  Its top-k
+    uses argpartition + a sort of only the boundary-tie candidate set —
+    property-check that against a FULL lexsort reference on adversarial
+    data where most distances tie (few distinct coordinate values, so
+    the k-th-smallest boundary is a fat tie class resolved by
+    neighbor_id)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        _gram_topk_group,
+        _quantize_np,
+    )
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        n_vec=st.integers(2, 40),
+        n_q=st.integers(1, 6),
+        k=st.integers(1, 8),
+        dim=st.integers(1, 4),
+        n_vals=st.integers(1, 3),  # tiny alphabet -> massive tie classes
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(n_vec, n_q, k, dim, n_vals, seed):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, n_vals, size=(n_vec, dim)) / 1000.0
+        qvals = vals[rng.integers(0, n_vec, size=n_q)]  # queries among ties
+        vids = rng.permutation(n_vec * 3)[:n_vec].astype(np.int64)
+        qids = vids[rng.integers(0, n_vec, size=n_q)].astype(np.int64)
+        left = pd.DataFrame({"query_id": qids, "qe": list(qvals)})
+        right = pd.DataFrame({"vid": vids, "e": list(vals)})
+        got = _gram_topk_group(left, right, k)
+        # full-lexsort reference
+        qm, pm = _quantize_np(qvals), _quantize_np(vals)
+        exp_rows = []
+        for j in range(n_q):
+            d2 = ((qm[j][None, :] - pm) ** 2).sum(axis=1)
+            mask = vids != qids[j]
+            cid, cd = vids[mask], d2[mask]
+            order = np.lexsort((cid, cd))[: min(k, len(cid))]
+            for o in order:
+                exp_rows.append((qids[j], cid[o], cd[o]))
+        # duplicate qids collapse: compare per-query result SETS (a qid
+        # drawn twice yields identical rows in both; sort+dedup aligns)
+        gset = sorted(set(zip(got.query_id, got.neighbor_id, got.dist2)))
+        eset = sorted(set(exp_rows))
+        assert gset == eset
+
+    run()
+
+
 def test_cogroup_apply_rejects_key_type_mismatch(spark):
     """The plan-build contract guarding the whole cogroup pattern:
     mismatched grouping-key dataTypes are silent group mis-alignment in
