@@ -120,6 +120,31 @@ def test_neardup_lsh_plan_shape(spark):
     assert "= -1" in plan or "-1)" in plan
 
 
+def test_neardup_fallback_grid_replication_is_sqrt(spark):
+    """100 TB contract on the fallback band's data movement: the grid
+    splits BOTH sides into g = ceil(sqrt(shuffle.partitions)) blocks,
+    so each side replicates sqrt(B) times — NOT the round-4 shape that
+    replicated every over-cap row to all B blocks (O(n*B) shuffled
+    copies, the full table times the partition count in the gate's own
+    all-over-cap regime; r4 verdict #2).  At 64 partitions the plan
+    must key on pmod(·, 8), and 64 must appear in no pmod."""
+    import re
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        plan = plan_of(neardup_pairs(emb, 10**6))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    mods = set(re.findall(r"pmod\([a-z]+#\d+L?, (\d+)\)", plan))
+    assert mods == {"8"}, f"grid modulus must be sqrt(64)=8, got {mods}"
+
+
 def test_simhash_banded_plan_shape(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
