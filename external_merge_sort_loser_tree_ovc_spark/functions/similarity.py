@@ -43,6 +43,11 @@ from .grouped import cogroup_apply
 
 SCALE = 1000
 
+# elements per local distance-matrix chunk in the cogrouped NLJ/rerank
+# kernels (~64 MB of int64 at the default).  Module-level so tests can
+# shrink it to force multi-chunk execution paths on small fixtures.
+GRAM_CHUNK_ELEMS = 1 << 23
+
 
 def _quant_expr_spark(col: str) -> str:
     return (
@@ -570,7 +575,7 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
         h_mat = _quantize_np(np.stack(right["e"].to_numpy()))
         h_norm = (h_mat * h_mat).sum(axis=1)
         outs = []
-        step = max(1, (1 << 23) // max(1, len(h_ids)))
+        step = max(1, GRAM_CHUNK_ELEMS // max(1, len(h_ids)))
         for s in range(0, len(p_ids), step):
             pm = p_mat[s : s + step]
             pn = (pm * pm).sum(axis=1)
@@ -840,7 +845,7 @@ def _gram_topk_group(
     pn = (pm * pm).sum(axis=1)
     qn = (qm * qm).sum(axis=1)
     outs = []
-    step = max(1, (1 << 23) // max(1, len(vids)))  # d2 rows per chunk
+    step = max(1, GRAM_CHUNK_ELEMS // max(1, len(vids)))  # d2 rows per chunk
     for s0 in range(0, len(qids_), step):
         d2 = (
             qn[s0 : s0 + step, None]

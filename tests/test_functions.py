@@ -256,8 +256,12 @@ def test_gram_topk_group_boundary_ties_property():
         dim=st.integers(1, 4),
         n_vals=st.integers(1, 3),  # tiny alphabet -> massive tie classes
         seed=st.integers(0, 2**31 - 1),
+        chunk=st.sampled_from([1, 3, 1 << 23]),  # force multi-chunk paths
     )
-    def run(n_vec, n_q, k, dim, n_vals, seed):
+    def run(n_vec, n_q, k, dim, n_vals, seed, chunk):
+        import external_merge_sort_loser_tree_ovc_spark.functions.similarity as S
+
+        S.GRAM_CHUNK_ELEMS = chunk  # query-side chunking must be invisible
         rng = np.random.default_rng(seed)
         vals = rng.integers(0, n_vals, size=(n_vec, dim)) / 1000.0
         qvals = vals[rng.integers(0, n_vec, size=n_q)]  # queries among ties
@@ -282,7 +286,13 @@ def test_gram_topk_group_boundary_ties_property():
         eset = sorted(set(exp_rows))
         assert gset == eset
 
-    run()
+    import external_merge_sort_loser_tree_ovc_spark.functions.similarity as S
+
+    default_chunk = S.GRAM_CHUNK_ELEMS
+    try:
+        run()
+    finally:
+        S.GRAM_CHUNK_ELEMS = default_chunk
 
 
 def test_cogroup_apply_rejects_key_type_mismatch(spark):
