@@ -414,6 +414,124 @@ def neardup_pairs(
     )
 
 
+# --- cosine near-dup: shared-SQL normalization + the L2 engine ---------------
+#
+# Cosine similarity is squared-L2 on unit-normalized vectors:
+# |a/|a| - b/|b||^2 = 2 - 2 cos(a, b), so cos >= tau  <=>
+# dist2_normalized <= 2*SCALE^2*(1 - tau) on the quantized grid.  The
+# normalization is emitted as ONE arithmetic formula in both dialects so
+# the derived vectors (and therefore the pair set) match bit-for-bit:
+#   - norm2 = sum of SQUARED QUANTIZED ints — exact int64, order-
+#     independent (a float sum would differ between engines by fold
+#     order in the last ulp and flip quantization boundaries);
+#   - each element = quantized_int / sqrt(norm2) — one correctly
+#     rounded sqrt + one correctly rounded division of exact doubles,
+#     identical IEEE results everywhere.
+# Zero vectors map to the origin (CASE guard) in both engines.
+
+
+def _norm2_int_expr(d, vec_col: str) -> str:
+    """Exact integer norm2 of the quantized vector (dialect d)."""
+    q = f"CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)"
+    return d.arr_sum(d.transform(vec_col, "x", f"{q} * {q}"))
+
+
+def _normalize_expr(d, vec_col: str, n2: str) -> str:
+    """Unit-normalized double elements from the quantized grid."""
+    q = f"CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)"
+    body = (
+        f"CASE WHEN {n2} = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST({q} AS DOUBLE) / sqrt(CAST({n2} AS DOUBLE)) END"
+    )
+    return d.transform(vec_col, "x", body)
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    dist2_max: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_probe_planes: int = 4,
+    method: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine distance below the threshold, computed EXACTLY as L2 on
+    unit-normalized quantized vectors (``dist2_max`` in quantized
+    units^2; cos >= tau corresponds to dist2_max = 2*SCALE^2*(1-tau)).
+    The normalization is dialect-shared arithmetic (see above), so the
+    DuckDB oracle reproduces the pair set bit-for-bit; candidate
+    generation, bounded multi-probe, and both cogrouped NLJ bands are
+    the same verified machinery as ``neardup_pairs``.
+
+    At ingest scale the normalized column would be materialized once in
+    the pipeline rather than recomputed per query — the one Catalyst
+    HOF pass here is per-ROW (64 element lambdas), acceptable at gate
+    scale and not on the per-candidate hot path."""
+    from .texthash import Dialect
+
+    d = Dialect("spark")
+    norm2 = _norm2_int_expr(d, vec_col)
+    src = vectors.select(
+        F.col(id_col),
+        F.expr(_normalize_expr(d, vec_col, norm2)).alias(vec_col),
+    )
+    return neardup_pairs(
+        src,
+        dist2_max,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        max_probe_planes=max_probe_planes,
+        method=method,
+    )
+
+
+def _cosine_norm_src(table: str, id_col: str, vec_col: str) -> str:
+    from .texthash import Dialect
+
+    d = Dialect("duckdb")
+    norm2 = _norm2_int_expr(d, vec_col)
+    return (
+        f"(SELECT {id_col}, {_normalize_expr(d, vec_col, norm2)} AS {vec_col} "
+        f"FROM {table}) nsrc"
+    )
+
+
+def cosine_neardup_oracle_sql(
+    table: str, dist2_max: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return neardup_oracle_sql(
+        _cosine_norm_src(table, id_col, vec_col),
+        dist2_max,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def cosine_neardup_sampled_oracle_sql(
+    table: str,
+    dist2_max: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mod: int = 100,
+    keep: int = 5,
+) -> str:
+    """Sampled (sf1) variant of the cosine near-dup oracle — same
+    normalized derived source, pairs restricted to the deterministic id
+    sample (see ``neardup_sampled_oracle_sql``)."""
+    return neardup_sampled_oracle_sql(
+        _cosine_norm_src(table, id_col, vec_col),
+        dist2_max,
+        id_col=id_col,
+        vec_col=vec_col,
+        mod=mod,
+        keep=keep,
+    )
+
+
 def _bucketize_frame(
     pdf: pd.DataFrame,
     *,

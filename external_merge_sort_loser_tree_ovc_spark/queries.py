@@ -65,6 +65,8 @@ from .functions.similarity import (
     ann_topk_cosine_oracle_sql,
     ann_topk_oracle_sql,
     clustered_embeddings,
+    cosine_neardup_oracle_sql,
+    cosine_neardup_pairs,
     neardup_oracle_sql,
     neardup_pairs,
 )
@@ -105,6 +107,8 @@ KNN_QUERY_MOD = 29
 ANN_K = 5
 ANN_QUERY_MOD = 50
 NEARDUP_DIST2 = 1_100_000
+# cosine near-dup: cos >= 0.4  <=>  normalized dist2 <= 2*SCALE^2*0.6
+COSINE_NEARDUP_DIST2 = 1_200_000
 # probe-regime threshold (q_ann_neardup_probe): small enough that ~47%
 # of the gate vectors keep <= max_probe_planes uncertain planes, so the
 # multi-probe equi-join path carries real driver-checked pairs
@@ -365,6 +369,18 @@ def q_ann_cosine(spark, sf_dir):
 
 def q_ann_neardup(spark, sf_dir):
     return neardup_pairs(_read(spark, sf_dir, "embeddings"), NEARDUP_DIST2)
+
+
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-COSINE near-dup (the last dedup family member from the
+    training-data mandate): exact cosine-threshold pairs via
+    dialect-shared unit normalization (integer-exact norm2, correctly
+    rounded divide) + the verified L2 near-dup engine.  The pair set
+    differs from q_ann_neardup's (norms vary, so no single L2 threshold
+    reproduces a cosine threshold)."""
+    return cosine_neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), COSINE_NEARDUP_DIST2
+    )
 
 
 def q_ann_neardup_probe(spark, sf_dir):
@@ -1072,6 +1088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_cosine": q_ann_cosine,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
+    "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_multimodal_meta": q_multimodal_meta,
@@ -1140,6 +1157,9 @@ ORACLES: dict[str, str] = {
     "q_ann_neardup": neardup_oracle_sql("embeddings", NEARDUP_DIST2),
     "q_ann_neardup_probe": neardup_oracle_sql(
         NEARDUP_PROBE_SRC, NEARDUP_PROBE_DIST2
+    ),
+    "q_dedup_embed_cosine": cosine_neardup_oracle_sql(
+        "embeddings", COSINE_NEARDUP_DIST2
     ),
     # q_ann_lsh: intentionally NO oracle (approximate by design)
     "q_multimodal_meta": media_metadata_oracle_sql("documents", "encode(text)", "doc_id"),

@@ -37,7 +37,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # verdict #3: the old rows-only criterion here was literally n >= 0 —
 # it recorded "ran without crashing" as rows_match=true while the
 # operator was returning wrong answers.
-QUADRATIC_ORACLES = {"q_ann_neardup", "q_ann_neardup_probe"}
+QUADRATIC_ORACLES = {"q_ann_neardup", "q_ann_neardup_probe", "q_dedup_embed_cosine"}
 SAMPLE_MOD, SAMPLE_KEEP = 100, 5
 
 
@@ -78,10 +78,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        cosine_neardup_sampled_oracle_sql,
         neardup_sample_filter_sql,
         neardup_sampled_oracle_sql,
     )
     from external_merge_sort_loser_tree_ovc_spark.queries import (
+        COSINE_NEARDUP_DIST2,
         NEARDUP_DIST2,
         NEARDUP_PROBE_DIST2,
         NEARDUP_PROBE_SRC,
@@ -93,6 +95,9 @@ def main() -> None:
         ),
         "q_ann_neardup_probe": neardup_sampled_oracle_sql(
             NEARDUP_PROBE_SRC, NEARDUP_PROBE_DIST2, mod=SAMPLE_MOD, keep=SAMPLE_KEEP
+        ),
+        "q_dedup_embed_cosine": cosine_neardup_sampled_oracle_sql(
+            "embeddings", COSINE_NEARDUP_DIST2, mod=SAMPLE_MOD, keep=SAMPLE_KEEP
         ),
     }
 

@@ -152,6 +152,32 @@ def test_neardup_pairs_vs_oracle(spark, emb):
     assert len(out) > 0
 
 
+def test_cosine_neardup_vs_oracle_and_exact(spark, emb):
+    """Embedding-cosine near-dup: the shared-SQL normalization must
+    make the LSH path, the exact path, and the DuckDB oracle agree
+    bit-for-bit; and the pair set must genuinely differ from the L2
+    query's at the gate thresholds (norms vary, so cosine is not a
+    reparameterized L2)."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        cosine_neardup_oracle_sql,
+        cosine_neardup_pairs,
+        neardup_pairs,
+    )
+    from external_merge_sort_loser_tree_ovc_spark.queries import (
+        COSINE_NEARDUP_DIST2,
+        NEARDUP_DIST2,
+    )
+
+    key = lambda d: set(zip(d.id_a, d.id_b, d.dist2))  # noqa: E731
+    got = cosine_neardup_pairs(emb, COSINE_NEARDUP_DIST2).toPandas()
+    exact = cosine_neardup_pairs(emb, COSINE_NEARDUP_DIST2, method="exact").toPandas()
+    exp = _duck(cosine_neardup_oracle_sql("embeddings", COSINE_NEARDUP_DIST2))
+    assert len(got) > 0
+    assert key(got) == key(exact) == key(exp)
+    l2 = neardup_pairs(emb, NEARDUP_DIST2).toPandas()
+    assert {(a, b) for a, b, _ in key(got)} != {(a, b) for a, b, _ in key(l2)}
+
+
 def test_neardup_partition_count_invariance(spark, emb):
     """r4 regression guard: the fallback band's cogroup silently lost
     pairs when its two grouping-key types differed (int32 explode vs
