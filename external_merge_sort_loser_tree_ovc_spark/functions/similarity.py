@@ -472,10 +472,17 @@ def cosine_neardup_pairs(
     from .texthash import Dialect
 
     d = Dialect("spark")
-    norm2 = _norm2_int_expr(d, vec_col)
+    # norm2 is hoisted to its OWN column before the per-element lambda
+    # references it: inlining the aggregate into the lambda body makes
+    # Catalyst re-evaluate it per ELEMENT (dim^2 interpreted HOF evals
+    # per row — the exact trap the Arrow cosine path exists to avoid)
     src = vectors.select(
         F.col(id_col),
-        F.expr(_normalize_expr(d, vec_col, norm2)).alias(vec_col),
+        F.col(vec_col),
+        F.expr(_norm2_int_expr(d, vec_col)).alias("_n2"),
+    ).select(
+        F.col(id_col),
+        F.expr(_normalize_expr(d, vec_col, "_n2")).alias(vec_col),
     )
     return neardup_pairs(
         src,
@@ -492,10 +499,10 @@ def _cosine_norm_src(table: str, id_col: str, vec_col: str) -> str:
     from .texthash import Dialect
 
     d = Dialect("duckdb")
-    norm2 = _norm2_int_expr(d, vec_col)
     return (
-        f"(SELECT {id_col}, {_normalize_expr(d, vec_col, norm2)} AS {vec_col} "
-        f"FROM {table}) nsrc"
+        f"(SELECT {id_col}, {_normalize_expr(d, vec_col, '_n2')} AS {vec_col} "
+        f"FROM (SELECT {id_col}, {vec_col}, "
+        f"{_norm2_int_expr(d, vec_col)} AS _n2 FROM {table}) t0) nsrc"
     )
 
 
