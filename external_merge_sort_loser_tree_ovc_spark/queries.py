@@ -902,6 +902,143 @@ def q_string_date_funcs(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — an arbitrary set list ((status, prio),
+    (status), ()), distinct from the ROLLUP/CUBE lattices already
+    gated; integer-exact aggregates, null group keys coalesced to
+    sentinels so the compare is total-order stable."""
+    o = _read(spark, sf_dir, "orders")
+    gs = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_cents("o_totalprice"))).alias("total_c"),
+    )
+    return gs.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("prio"),
+        "n",
+        "total_c",
+    )
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array-function coverage over the documents word array: size,
+    distinct size, per-element transform min/max, sorted first/last
+    element, containment, slice.  Arrays stay INTERNAL — every output
+    column is a scalar, so the driver compare and the sf1 fingerprint
+    both apply.  Null text filtered on BOTH sides (Spark size(NULL) is
+    -1 where DuckDB len(NULL) is NULL — the one semantic divergence)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_words"),
+        F.expr("size(array_distinct(split(text, ' ')))")
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.expr("array_min(transform(split(text, ' '), w -> length(w)))")
+        .cast("bigint")
+        .alias("min_wlen"),
+        F.expr("array_max(transform(split(text, ' '), w -> length(w)))")
+        .cast("bigint")
+        .alias("max_wlen"),
+        F.expr("element_at(array_sort(split(text, ' ')), 1)").alias("first_word"),
+        F.expr("element_at(array_sort(split(text, ' ')), -1)").alias("last_word"),
+        F.expr("CASE WHEN array_contains(split(text, ' '), 'the') THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("has_the"),
+        F.expr("size(slice(split(text, ' '), 1, 5))").cast("bigint").alias("head5"),
+    )
+
+
+def q_json_funcs(spark, sf_dir):
+    """JSON extraction: a JSON payload is synthesized per order with a
+    shared string build (the webtext shape: metadata arrives as JSON),
+    then typed fields are extracted back — Spark get_json_object vs
+    DuckDB json_extract_string, same paths, same results."""
+    o = _read(spark, sf_dir, "orders")
+    j = (
+        "concat('{\"k\":', o_orderkey, ',\"s\":\"', o_orderstatus, "
+        f"'\", \"p\":', {_cents('o_totalprice')}, '}}')"
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            f"CAST(get_json_object({j}, '$.k') AS BIGINT)"
+        ).alias("jk"),
+        F.expr(f"get_json_object({j}, '$.s')").alias("js"),
+        F.expr(
+            f"CAST(get_json_object({j}, '$.p') AS BIGINT)"
+        ).alias("jp"),
+    )
+
+
+def q_window_frames(spark, sf_dir):
+    """Window FRAME coverage beyond the existing rank/lag suite:
+    moving sum (ROWS 2 PRECEDING), running cumulative sum, and the
+    full-partition total — integer cents throughout."""
+    o = _read(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "o_orderkey", f"{_cents('o_totalprice')} AS v"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("v").over(w.rowsBetween(-2, 0)).alias("mov3_c"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_c"),
+        F.sum("v").over(Window.partitionBy("o_custkey")).alias("tot_c"),
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """Map-column coverage: a map is built engine-side
+    (map_from_arrays + element_at with a data-dependent key); the
+    oracle computes the same RESULTS directly — it verifies semantics,
+    not the representation (maps never cross the engine boundary)."""
+    o = _read(spark, sf_dir, "orders")
+    m = (
+        "map_from_arrays(array('status', 'prio'), "
+        "array(o_orderstatus, o_orderpriority))"
+    )
+    key = "CASE WHEN o_orderkey % 2 = 0 THEN 'status' ELSE 'prio' END"
+    return o.select(
+        "o_orderkey",
+        F.expr(f"element_at({m}, 'status')").alias("status_v"),
+        F.expr(f"element_at({m}, {key})").alias("picked_v"),
+        F.expr(f"size({m})").cast("bigint").alias("n_keys"),
+    )
+
+
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: the
+    IDENTICAL query text runs on both engines (Spark over temp views,
+    DuckDB over the parquet views), evidencing subquery support beyond
+    the DataFrame semi/anti-join operators."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(EXISTS_SQL)
+
+
+EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      AND o.o_totalprice > 250000
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -1117,6 +1254,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_set_ops": q_set_ops,
     "q_string_date_funcs": q_string_date_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_array_funcs": q_array_funcs,
+    "q_json_funcs": q_json_funcs,
+    "q_window_frames": q_window_frames,
+    "q_map_funcs": q_map_funcs,
+    "q_exists_subquery": q_exists_subquery,
 }
 
 ORACLES: dict[str, str] = {
@@ -1270,4 +1413,55 @@ SELECT o_orderkey,
        DATE_TRUNC('month', o_orderdate) AS month_start
 FROM orders
 """,
+    "q_grouping_sets": f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS prio,
+       COUNT(*) AS n,
+       CAST(SUM({_cents('o_totalprice')}) AS BIGINT) AS total_c
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    "q_array_funcs": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(list_min(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS min_wlen,
+       CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS max_wlen,
+       list_sort(string_split(text, ' '))[1] AS first_word,
+       list_sort(string_split(text, ' '))[len(string_split(text, ' '))] AS last_word,
+       CAST(CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+       CAST(len(list_slice(string_split(text, ' '), 1, 5)) AS BIGINT) AS head5
+FROM documents WHERE text IS NOT NULL
+""",
+    "q_json_funcs": f"""
+WITH j AS (
+  SELECT o_orderkey,
+         '{{"k":' || o_orderkey || ',"s":"' || o_orderstatus ||
+         '", "p":' || {_cents('o_totalprice')} || '}}' AS payload
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(json_extract_string(payload, '$.k') AS BIGINT) AS jk,
+       json_extract_string(payload, '$.s') AS js,
+       CAST(json_extract_string(payload, '$.p') AS BIGINT) AS jp
+FROM j
+""",
+    "q_window_frames": f"""
+WITH o AS (SELECT o_custkey, o_orderkey, {_cents('o_totalprice')} AS v FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(v) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_c,
+       CAST(SUM(v) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c,
+       CAST(SUM(v) OVER (PARTITION BY o_custkey) AS BIGINT) AS tot_c
+FROM o
+""",
+    "q_map_funcs": """
+SELECT o_orderkey,
+       o_orderstatus AS status_v,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus ELSE o_orderpriority END AS picked_v,
+       CAST(2 AS BIGINT) AS n_keys
+FROM orders
+""",
+    "q_exists_subquery": EXISTS_SQL,
 }
