@@ -68,6 +68,11 @@ def build_spark(cpus: int):
         # (a real cluster adds local disks with every executor) — see
         # external_merge_sort_loser_tree_ovc_spark/runtime.py
         .config("spark.local.dir", default_local_dir())
+        # bandwidth-bound stages can be oversubscription-limited: with
+        # task.cpus=k, local[N] runs N/k concurrent tasks, each with the
+        # whole bus share of k cores.  Default 1; see the round-5
+        # scaling notes in BASELINE.md for when >1 wins on one box.
+        .config("spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
