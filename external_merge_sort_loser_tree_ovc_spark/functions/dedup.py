@@ -485,6 +485,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontamination_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    eval_mod: int = 97,
+    min_shared: int = 3,
+    df_cap: int | None = None,
+    df_cap_frac: float | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag TRAINING docs that share at
+    least ``min_shared`` distinct (df-capped) word bigrams with the
+    EVAL set (docs with ``id % eval_mod == 0`` stand in for a held-out
+    benchmark corpus).  The shape is the decontamination semi-join a
+    training pipeline runs before every release: inverted gram index,
+    eval grams distinct-projected, one equi-join on the 128-bit gram
+    key, count per training doc.  ``df_cap`` drops boilerplate grams
+    from BOTH sides (a stop-gram shared with everything is evidence of
+    nothing), bounding every join bucket exactly as in
+    ``ngram_jaccard_pairs``.
+
+    ``df_cap_frac``: scale-INVARIANT form of the cap — grams appearing
+    in more than ``frac * n_docs`` documents are dropped.  An absolute
+    DF cap doesn't transfer across corpus sizes (the round-5 sf1 gate
+    showed cap=64 drops nearly every gram at 10x the corpus, flagging
+    nothing); a fractional stop-gram cutoff is what a pipeline would
+    ship.  Costs one count() job at plan-build time (same precedent as
+    the ANN queries' max-id probe).
+
+    Returns (id, n_shared) for flagged training docs."""
+    if df_cap_frac is not None:
+        df_cap = max(1, int(df_cap_frac * df.count()))
+    grams = (
+        _explode_bigrams_arrow(df, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("g")).alias("g"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("g")).alias("g2"),
+        )
+        .distinct()
+        .persist()
+    )
+    if df_cap is not None:
+        grams = _drop_hot_keys(grams, ["g", "g2"], df_cap)
+    is_eval = F.pmod(F.col(id_col), F.lit(eval_mod)) == 0
+    eval_grams = grams.filter(is_eval).select("g", "g2").distinct()
+    train = grams.filter(~is_eval)
+    return (
+        train.join(eval_grams, ["g", "g2"])
+        # gram rows are distinct per (id, gram), so count(*) counts
+        # DISTINCT shared grams
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontamination_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    eval_mod: int = 97,
+    min_shared: int = 3,
+    df_cap: int | None = None,
+    df_cap_frac: float | None = None,
+) -> str:
+    gram_cte = f"""
+  SELECT DISTINCT {id_col}, unnest({_bigrams_duck(text_col)}) AS g FROM {table}
+"""
+    cap_expr = (
+        f"GREATEST(1, CAST(FLOOR({df_cap_frac} * (SELECT COUNT(*) FROM {table})) AS BIGINT))"
+        if df_cap_frac is not None
+        else (str(df_cap) if df_cap is not None else None)
+    )
+    if cap_expr is not None:
+        gram_cte = f"""
+  SELECT * FROM ({gram_cte}) g0
+  WHERE g NOT IN (
+    SELECT g FROM ({gram_cte}) GROUP BY g HAVING COUNT(*) > {cap_expr}
+  )
+"""
+    return f"""
+WITH grams AS ({gram_cte}),
+ev AS (SELECT DISTINCT g FROM grams WHERE {id_col} % {eval_mod} = 0),
+tr AS (
+  SELECT grams.{id_col}, COUNT(*) AS n_shared
+  FROM grams JOIN ev USING (g)
+  WHERE grams.{id_col} % {eval_mod} <> 0
+  GROUP BY grams.{id_col}
+)
+SELECT {id_col}, n_shared FROM tr WHERE n_shared >= {min_shared}
+"""
+
+
 def ngram_jaccard_oracle_sql(
     table: str,
     id_col: str,

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions import texthash as T
 from .functions.dedup import (
+    decontamination_flags,
+    decontamination_oracle_sql,
     exact_dedup_oracle_sql,
     exact_dedup_scale_oracle_sql,
     exact_dedup_scale_stats,
@@ -633,6 +635,34 @@ GROUP BY 1
 """
 
 
+def _oracle_domain_quota() -> str:
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_DUCK, u)
+    return f"""
+WITH h AS (SELECT doc_id, {parts['host']} AS host FROM documents),
+r AS (SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+      FROM h)
+SELECT doc_id, host, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {DOMAIN_QUOTA}
+"""
+
+
+def _oracle_pii_scrub() -> str:
+    msg = f"(text || {PII_TAIL_SQL})"
+    scrub = _DUCK.regexp_replace(
+        _DUCK.regexp_replace(msg, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return f"""
+SELECT doc_id,
+       {scrub} AS scrubbed,
+       CAST(len(regexp_extract_all({msg}, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({msg}, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 shape with integer-cents aggregates (hash-stable)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1039,6 +1069,101 @@ AND NOT EXISTS (
 """
 
 
+SPLIT_BUCKET_SQL = "(((doc_id * 2654435761) % 1000000007) % 100)"
+SPLIT_SQL = (
+    f"CASE WHEN {SPLIT_BUCKET_SQL} < 90 THEN 'train' "
+    f"WHEN {SPLIT_BUCKET_SQL} < 95 THEN 'val' ELSE 'test' END"
+)
+DOMAIN_QUOTA = 3
+DECONTAM_EVAL_MOD = 97
+# 20 shared bigrams flags ~25-45% of training docs on the gate corpora
+# (3 flagged ~97% — no discrimination; 40 flagged nothing)
+DECONTAM_MIN_SHARED = 20
+# fractional stop-gram cutoff: grams in > 12.8% of docs dropped (= the
+# ngram cap of 64 at the 500-doc driver scale, but scale-invariant —
+# an absolute cap starves the index at 10x the corpus)
+DECONTAM_DF_FRAC = 0.128
+# synthesized PII tail appended to each doc before scrubbing (shared
+# string build — the fixture text itself carries no PII)
+PII_TAIL_SQL = (
+    "(' contact user' || doc_id || '@mail' || (doc_id % 7) || "
+    "'.example.com or call 555-' || (1000 + doc_id % 9000))"
+)
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def q_split_sample(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) by integer hash of
+    the id — the sampling step every training pipeline runs.  Pure
+    shared arithmetic: no engine RNG, no partition-layout dependence
+    (df.sample(seed) changes with partitioning; this never does)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(SPLIT_BUCKET_SQL).cast("bigint").alias("bucket"),
+        F.expr(SPLIT_SQL).alias("split"),
+    )
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling (domain balancing): keep at most
+    DOMAIN_QUOTA pages per canonical host, smallest doc_id first — the
+    anti-SEO-farm cap applied after URL canonicalization.  One window
+    over the host key."""
+    docs = _read(spark, sf_dir, "documents")
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_SPARK, u)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.expr(parts["host"]).alias("host"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_QUOTA)
+        .select("doc_id", "host", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: a deterministic PII tail (email + phone) is
+    appended to each doc in shared SQL, then redacted with the same
+    regex chain in both engines; outputs the scrubbed text plus match
+    counts, so the gate verifies both the redaction and the counting.
+    (Spark regexp_replace replaces globally by default; DuckDB needs
+    the 'g' flag — the Dialect shim handles it.)"""
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    msg = f"(text || {PII_TAIL_SQL})"
+    scrub = _SPARK.regexp_replace(
+        _SPARK.regexp_replace(msg, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.expr(scrub).alias("scrubbed"),
+        F.expr(f"size(regexp_extract_all({msg}, '{PII_EMAIL_RE}', 0))")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all({msg}, '{PII_PHONE_RE}', 0))")
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing >=
+    DECONTAM_MIN_SHARED distinct df-capped bigrams with the eval slice
+    (doc_id % DECONTAM_EVAL_MOD == 0) — the release-gate semi-join of
+    a training pipeline, on the same inverted gram index machinery as
+    q_dedup_ngram."""
+    return decontamination_flags(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        eval_mod=DECONTAM_EVAL_MOD,
+        min_shared=DECONTAM_MIN_SHARED,
+        df_cap_frac=DECONTAM_DF_FRAC,
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -1260,6 +1385,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_frames": q_window_frames,
     "q_map_funcs": q_map_funcs,
     "q_exists_subquery": q_exists_subquery,
+    # training-data pipeline (r5 batch 2)
+    "q_split_sample": q_split_sample,
+    "q_domain_quota": q_domain_quota,
+    "q_pii_scrub": q_pii_scrub,
+    "q_decontaminate": q_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1464,4 +1594,19 @@ SELECT o_orderkey,
 FROM orders
 """,
     "q_exists_subquery": EXISTS_SQL,
+    "q_split_sample": f"""
+SELECT doc_id,
+       CAST({SPLIT_BUCKET_SQL} AS BIGINT) AS bucket,
+       {SPLIT_SQL} AS split
+FROM documents
+""",
+    "q_domain_quota": _oracle_domain_quota(),
+    "q_pii_scrub": _oracle_pii_scrub(),
+    "q_decontaminate": decontamination_oracle_sql(
+        "documents",
+        "doc_id",
+        eval_mod=DECONTAM_EVAL_MOD,
+        min_shared=DECONTAM_MIN_SHARED,
+        df_cap_frac=DECONTAM_DF_FRAC,
+    ),
 }
