@@ -1069,6 +1069,106 @@ AND NOT EXISTS (
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (time-series point-in-time lookup): for every click
+    event, the most recent purchase by the same user at or before the
+    click.  The scalable shape is NOT a join at all: tag the two
+    streams, union them, ONE window sorted by (ts, tag, event_id) per
+    user carries the last purchase forward (last(ignorenulls) over an
+    unbounded-preceding frame), then keep the click rows.  One shuffle
+    on the user key, no row-pair candidates, no range predicate —
+    versus the naive theta-join whose candidate set is O(clicks x
+    purchases) per user.  Ties: a purchase at the click's exact ts
+    counts (tag 0 sorts before 1); equal-ts purchases resolve to the
+    largest event_id.  Clicks with no prior purchase keep NULL (left
+    as-of)."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("ref_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("ref_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "user_id",
+            "event_id",
+            "tag",
+            F.last("ref_id", ignorenulls=True).over(w).alias("asof_purchase_id"),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", "asof_purchase_id"
+        )
+    )
+
+
+RANGE_JOIN_WINDOW_H = 2  # incident window length (hours)
+
+
+def q_range_join(spark, sf_dir):
+    """RANGE (interval) join: every 40th event is an "incident"; count
+    and sum the same user's events inside [t0, t0 + 2h].  The scalable
+    shape is the BINNED interval join: both sides map to hour buckets
+    (incidents explode over the <= 3 buckets their window covers, a
+    bounded fan-out), the join is a plain (user, bucket) EQUI-join,
+    and the exact BETWEEN refines afterwards — Catalyst would otherwise
+    plan a range-theta join as a nested-loop product.  Buckets derive
+    from date arithmetic only (no epoch/timezone functions: ts is
+    TIMESTAMP_NTZ and unix_timestamp would shift with the session
+    zone).  The incident's own event matches its window — kept,
+    so every incident appears (n_events >= 1)."""
+    ev = _read(spark, sf_dir, "events")
+    hk = (
+        "(CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) * 24"
+        " + CAST(hour(ts) AS BIGINT))"
+    )
+    inc = (
+        ev.filter(F.col("event_id") % 40 == 0)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("user_id").alias("iu"),
+            F.col("ts").alias("t0"),
+            (F.col("ts") + F.expr(f"INTERVAL {RANGE_JOIN_WINDOW_H} HOURS")).alias(
+                "t1"
+            ),
+        )
+        .withColumn("hk0", F.expr(hk.replace("ts", "t0")))
+        .withColumn("hk1", F.expr(hk.replace("ts", "t1")))
+        .withColumn("hk", F.explode(F.expr("sequence(hk0, hk1)")))
+        .select("incident_id", "iu", "t0", "t1", "hk")
+    )
+    pts = ev.select(
+        F.col("user_id").alias("iu"),
+        F.col("ts").alias("ets"),
+        F.expr(_cents("value")).alias("v_c"),
+        F.expr(hk).alias("hk"),
+    )
+    return (
+        inc.join(pts, ["iu", "hk"])
+        .filter((F.col("ets") >= F.col("t0")) & (F.col("ets") <= F.col("t1")))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_c").alias("sum_value_c"),
+        )
+    )
+
+
 SPLIT_BUCKET_SQL = "(((doc_id * 2654435761) % 1000000007) % 100)"
 SPLIT_SQL = (
     f"CASE WHEN {SPLIT_BUCKET_SQL} < 90 THEN 'train' "
@@ -1385,6 +1485,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_frames": q_window_frames,
     "q_map_funcs": q_map_funcs,
     "q_exists_subquery": q_exists_subquery,
+    # time-series joins (r5)
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     # training-data pipeline (r5 batch 2)
     "q_split_sample": q_split_sample,
     "q_domain_quota": q_domain_quota,
@@ -1594,6 +1697,36 @@ SELECT o_orderkey,
 FROM orders
 """,
     "q_exists_subquery": EXISTS_SQL,
+    "q_asof_join": """
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT) AS ref_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS tag, event_id AS ref_id
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, event_id, tag,
+         LAST_VALUE(ref_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_purchase_id
+  FROM u
+)
+SELECT event_id AS click_id, user_id, asof_purchase_id FROM m WHERE tag = 1
+""",
+    "q_range_join": f"""
+WITH inc AS (
+  SELECT event_id AS incident_id, user_id AS iu, ts AS t0,
+         ts + INTERVAL {RANGE_JOIN_WINDOW_H} HOUR AS t1
+  FROM events WHERE event_id % 40 = 0
+)
+SELECT incident_id,
+       COUNT(*) AS n_events,
+       CAST(SUM({_cents('e.value')}) AS BIGINT) AS sum_value_c
+FROM inc JOIN events e
+  ON e.user_id = inc.iu AND e.ts >= inc.t0 AND e.ts <= inc.t1
+GROUP BY incident_id
+""",
     "q_split_sample": f"""
 SELECT doc_id,
        CAST({SPLIT_BUCKET_SQL} AS BIGINT) AS bucket,

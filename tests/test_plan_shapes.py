@@ -145,6 +145,33 @@ def test_neardup_fallback_grid_replication_is_sqrt(spark):
     assert mods == {"8"}, f"grid modulus must be sqrt(64)=8, got {mods}"
 
 
+def test_asof_join_plan_shape(spark):
+    """The as-of join must compile to NO join operator at all — the
+    tagged-union + per-user window shape.  A range-theta formulation
+    would plan as a nested-loop product of clicks x purchases."""
+    import re
+
+    plan = plan_of(QUERIES["q_asof_join"](spark, SF))
+    joins = re.findall(
+        r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin|SortMergeJoin|"
+        r"ShuffledHashJoin|BroadcastHashJoin)",
+        plan,
+        re.M,
+    )
+    assert not joins, f"as-of must be join-free (union+window), got {joins}"
+    assert "Window" in plan
+
+
+def test_range_join_plan_shape(spark):
+    """The binned interval join must be an EQUI-join on (user, hour
+    bucket) with bounded explode fan-out — never a nested-loop range
+    product."""
+    plan = plan_of(QUERIES["q_range_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the bounded bucket explode
+
+
 def test_simhash_banded_plan_shape(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
