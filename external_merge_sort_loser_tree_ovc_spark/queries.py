@@ -27,6 +27,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions import texthash as T
+from .functions.graph import (
+    connected_components,
+    connected_components_oracle_sql,
+)
 from .functions.dedup import (
     decontamination_flags,
     decontamination_oracle_sql,
@@ -1069,6 +1073,19 @@ AND NOT EXISTS (
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup CLUSTER formation — the step after pairwise candidates
+    that actual deduplication requires: connected components over the
+    minhash near-dup pair set (min-label propagation, O(diameter)
+    rounds of join+min — no transitive-closure materialization
+    engine-side).  Output: (node, component=min reachable doc_id); one
+    representative per component survives in a real pipeline."""
+    pairs = minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", band_df_cap=DEDUP_BAND_CAP
+    )
+    return connected_components(pairs)
+
+
 def q_asof_join(spark, sf_dir):
     """AS-OF join (time-series point-in-time lookup): for every click
     event, the most recent purchase by the same user at or before the
@@ -1485,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_frames": q_window_frames,
     "q_map_funcs": q_map_funcs,
     "q_exists_subquery": q_exists_subquery,
+    "q_dedup_clusters": q_dedup_clusters,
     # time-series joins (r5)
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -1697,6 +1715,9 @@ SELECT o_orderkey,
 FROM orders
 """,
     "q_exists_subquery": EXISTS_SQL,
+    "q_dedup_clusters": connected_components_oracle_sql(
+        minhash_lsh_oracle_sql("documents", "doc_id", band_df_cap=DEDUP_BAND_CAP)
+    ),
     "q_asof_join": """
 WITH u AS (
   SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT) AS ref_id

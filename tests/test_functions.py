@@ -321,6 +321,51 @@ def test_gram_topk_group_boundary_ties_property():
         S.GRAM_CHUNK_ELEMS = default_chunk
 
 
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation vs a plain union-find on adversarial
+    shapes: a long PATH (worst diameter for label propagation), a
+    clique, a star, singleton-free isolated edges, and a random
+    multi-component graph — all under one run, labels must equal the
+    min-id component from union-find."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.graph import (
+        connected_components,
+    )
+
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 115)]  # path, diameter 15
+    edges += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+    edges += [(300, x) for x in range(301, 310)]  # star
+    edges += [(400, 401), (402, 403), (404, 405)]  # isolated edges
+    rng = np.random.default_rng(7)
+    nodes = rng.integers(500, 560, size=40)
+    edges += [(int(a), int(b)) for a, b in zip(nodes[::2], nodes[1::2]) if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expect = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    ).repartition(8)
+    got = connected_components(df).toPandas()
+    assert dict(zip(got.node, got.component)) == expect
+
+
 def test_cogroup_apply_rejects_key_type_mismatch(spark):
     """The plan-build contract guarding the whole cogroup pattern:
     mismatched grouping-key dataTypes are silent group mis-alignment in
