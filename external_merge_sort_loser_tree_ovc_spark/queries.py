@@ -667,6 +667,29 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _oracle_sketch_distinct() -> str:
+    from .atscale import M31, _str_int
+
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT CAST({_str_int('text')} AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT MAX(h) AS hk, COUNT(*) AS k_used
+  FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})
+),
+e AS (SELECT COUNT(*) AS n_exact FROM hs)
+SELECT CAST(k_used AS BIGINT) AS k_used,
+       CAST(hk AS BIGINT) AS hk,
+       CAST(CASE WHEN k_used < {KMV_K} THEN n_exact
+            ELSE ({KMV_K - 1} * CAST({M31} AS BIGINT)) // GREATEST(hk, 1)
+            END AS BIGINT) AS est_distinct,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM k, e
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 shape with integer-cents aggregates (hash-stable)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1071,6 +1094,43 @@ AND NOT EXISTS (
       AND o.o_totalprice > 250000
 )
 """
+
+
+KMV_K = 64
+
+
+def q_sketch_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch over document
+    texts — the streaming-sketch shape for cardinality at scale: one
+    pass, per-partition k smallest hashes (TakeOrdered — no full
+    distinct shuffle needed for the estimate itself; the exact count
+    rides along for the error context).  Estimator: (k-1) * M / h_k
+    with h_k the k-th smallest distinct hash over [0, M).  UNLIKE
+    engine HLL sketches (approx_count_distinct — implementation-
+    specific, never cross-engine comparable), both the full-string
+    md5-fold hash and the integer-division estimator are shared
+    arithmetic, so the APPROXIMATE estimate itself gates bit-exact
+    against DuckDB."""
+    from .atscale import M31, _str_int
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hs = d.select(F.expr(_str_int("text")).cast("bigint").alias("h")).distinct()
+    kth = (
+        hs.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used"))
+    )
+    exact = hs.agg(F.count(F.lit(1)).alias("n_exact"))
+    return kth.crossJoin(exact).select(
+        F.col("k_used").cast("bigint").alias("k_used"),
+        F.col("hk").cast("bigint").alias("hk"),
+        F.expr(
+            f"CAST(CASE WHEN k_used < {KMV_K} THEN n_exact "
+            f"ELSE ({KMV_K - 1} * CAST({M31} AS BIGINT)) DIV GREATEST(hk, 1) "
+            f"END AS BIGINT)"
+        ).alias("est_distinct"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1503,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_map_funcs": q_map_funcs,
     "q_exists_subquery": q_exists_subquery,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_sketch_distinct": q_sketch_distinct,
     # time-series joins (r5)
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -1718,6 +1779,7 @@ FROM orders
     "q_dedup_clusters": connected_components_oracle_sql(
         minhash_lsh_oracle_sql("documents", "doc_id", band_df_cap=DEDUP_BAND_CAP)
     ),
+    "q_sketch_distinct": _oracle_sketch_distinct(),
     "q_asof_join": """
 WITH u AS (
   SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT) AS ref_id
