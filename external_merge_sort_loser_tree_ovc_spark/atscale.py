@@ -20,14 +20,14 @@ dialect-shared arithmetic —
   * integers: the value itself (mod 2^31-1, sign-adjusted)
   * strings: md5 of the WHOLE string (both engines emit the identical
     32-char lowercase hex digest for identical UTF-8 input), folded to
-    an int by the texthash 31-polynomial over the digest's four 8-char
-    windows plus the original length.  Full-string sensitivity: any
-    byte changing anywhere in the string changes the digest, so a
-    changed row flips the mix with probability ~1 - 2^-31.  (Round 4
-    hashed only the first 8 + last 8 chars + length, so a
-    length-preserving corruption in the MIDDLE of a long string —
-    e.g. q_doc_chunks' 64-token chunk_text — passed undetected; r4
-    advice.)
+    an int by parsing two 60-bit hex windows of the digest (Spark
+    conv / DuckDB '0x' cast — verified identical) plus the original
+    length.  Full-string sensitivity: any byte changing anywhere in
+    the string changes the digest, so a changed row flips the mix with
+    probability ~1 - 2^-31.  (Round 4 hashed only the first 8 + last 8
+    chars + length, so a length-preserving corruption in the MIDDLE of
+    a long string — e.g. q_doc_chunks' 64-token chunk_text — passed
+    undetected; r4 advice.)
   * dates/timestamps: cast to the dialect's canonical string, then the
     string path (both engines print 'YYYY-MM-DD HH:MM:SS' for
     whole-second timestamps)
@@ -54,8 +54,6 @@ large should be fingerprinted in partitions anyway.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-
-from .functions.texthash import whash_sql
 
 M31 = 2_147_483_647  # 2^31 - 1
 
@@ -94,21 +92,33 @@ def _kind(type_name: str) -> str:
     )
 
 
-def _str_int(expr: str) -> str:
+def _hex_int(hexpr: str, dialect: str) -> str:
+    """Parse a <= 15-hex-char string as int64: Spark conv(h, 16, 10)
+    and DuckDB CAST('0x' || h AS BIGINT) return the identical value
+    (verified: 648541476951500027 for md5('abc')[:15] in both)."""
+    if dialect == "spark":
+        return f"CAST(conv({hexpr}, 16, 10) AS BIGINT)"
+    return f"CAST('0x' || ({hexpr}) AS BIGINT)"
+
+
+def _str_int(expr: str, dialect: str) -> str:
     """Cross-dialect string -> int in [0, M31) with FULL-string
     sensitivity: md5 the whole string (Spark and DuckDB both emit the
     identical 32-char lowercase hex digest for the same UTF-8 bytes),
-    then whash-fold the digest's four 8-char windows + the original
-    length.  Any single-byte change anywhere in the string flips the
-    digest, unlike a first-8/last-8 sample (r4 advice: a
-    length-preserving middle corruption of a long string must not
-    collide)."""
+    then fold two 15-hex-char (60-bit) windows of the digest by direct
+    hex->int64 parsing + the original length.  Any single-byte change
+    anywhere in the string flips the digest, unlike a first-8/last-8
+    sample (r4 advice).  The hex-parse fold replaced a per-character
+    ascii()-polynomial fold that cost ~100 expression evals per string
+    per row — 26 s of pure fingerprint overhead on a 1.5M-row sf1 gate
+    query, vs ~2 exprs here."""
     d = f"md5({expr})"
-    windows = [whash_sql(f"substr({d}, {1 + 8 * i}, 8)") for i in range(4)]
-    folded = " + ".join(
-        f"{w} * ({win})" for w, win in zip((1, 31, 131, 257), windows)
+    w1 = _hex_int(f"substr({d}, 1, 15)", dialect)
+    w2 = _hex_int(f"substr({d}, 16, 15)", dialect)
+    return (
+        f"((({w1}) % {M31}) + 31 * (({w2}) % {M31})"
+        f" + 8191 * length({expr})) % {M31}"
     )
-    return f"(({folded}) + 8191 * length({expr})) % {M31}"
 
 
 def _col_int(name: str, kind: str, dialect: str) -> str:
@@ -132,7 +142,7 @@ def _col_int(name: str, kind: str, dialect: str) -> str:
             s = f"CAST(CAST({name} AS TIMESTAMP) AS {cast_t})"
         else:
             s = name
-        base = _str_int(s)
+        base = _str_int(s, dialect)
     nn = f"((({base}) % {M31}) + {M31}) % {M31}"
     return f"(CASE WHEN {name} IS NULL THEN {abs(_NULL_SENTINEL)} ELSE {nn} END)"
 

@@ -672,7 +672,7 @@ def _oracle_sketch_distinct() -> str:
 
     return f"""
 WITH hs AS (
-  SELECT DISTINCT CAST({_str_int('text')} AS BIGINT) AS h
+  SELECT DISTINCT CAST({_str_int('text', 'duckdb')} AS BIGINT) AS h
   FROM documents WHERE text IS NOT NULL
 ),
 k AS (
@@ -1114,7 +1114,9 @@ def q_sketch_distinct(spark, sf_dir):
     from .atscale import M31, _str_int
 
     d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    hs = d.select(F.expr(_str_int("text")).cast("bigint").alias("h")).distinct()
+    hs = d.select(
+        F.expr(_str_int("text", "spark")).cast("bigint").alias("h")
+    ).distinct()
     kth = (
         hs.orderBy("h")
         .limit(KMV_K)
