@@ -476,13 +476,21 @@ def cosine_neardup_pairs(
     # references it: inlining the aggregate into the lambda body makes
     # Catalyst re-evaluate it per ELEMENT (dim^2 interpreted HOF evals
     # per row — the exact trap the Arrow cosine path exists to avoid)
-    src = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.expr(_norm2_int_expr(d, vec_col)).alias("_n2"),
-    ).select(
-        F.col(id_col),
-        F.expr(_normalize_expr(d, vec_col, "_n2")).alias(vec_col),
+    src = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(_norm2_int_expr(d, vec_col)).alias("_n2"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(_normalize_expr(d, vec_col, "_n2")).alias(vec_col),
+        )
+        # persist: the normalization is interpreted per ELEMENT (HOF)
+        # and the near-dup engine consumes its source once per band
+        # side — without this the dim-wide lambdas re-run 2-3x.
+        # Lifetime note as elsewhere: harnesses clearCache per query.
+        .persist()
     )
     return neardup_pairs(
         src,

@@ -416,7 +416,9 @@ def q_ann_neardup_probe(spark, sf_dir):
             "transform(embedding, (x, i) -> CASE WHEN i = 0 AND c = 1 "
             "THEN CAST(x AS DOUBLE) + 0.05 ELSE CAST(x AS DOUBLE) END)"
         ).alias("embedding"),
-    )
+    ).persist()  # the fixture's per-element HOF derivation would other-
+    # wise re-run for each of the operator's source consumers (home +
+    # probe bucketize); harnesses clearCache between queries
     return neardup_pairs(paired, NEARDUP_PROBE_DIST2)
 
 
