@@ -1098,6 +1098,68 @@ AND NOT EXISTS (
 """
 
 
+def q_release_pipeline(spark, sf_dir):
+    """Composed corpus-RELEASE pipeline (integration of the round-5
+    ops, one lazy plan): null filter -> exact dedup survivors (min id
+    per text) -> canonical-host quota (<= DOMAIN_QUOTA pages/host) ->
+    deterministic train/val/test split -> per-split release stats
+    (docs, distinct hosts, token totals).  Three shuffles total
+    (dedup group, host window, final aggregate); the oracle runs the
+    identical nested-CTE composition, so the gate checks the whole
+    chain end to end, not the stages in isolation."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    surv = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_SPARK, u)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    kept = (
+        surv.select("doc_id", "text", F.expr(parts["host"]).alias("host"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_QUOTA)
+    )
+    tok = T.token_count_sql(_SPARK, "text")
+    return (
+        kept.select(
+            F.expr(SPLIT_SQL).alias("split"),
+            "host",
+            F.expr(tok).alias("tk"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("tk").alias("n_tokens"),
+        )
+    )
+
+
+def _oracle_release_pipeline() -> str:
+    u = synth_url_sql("doc_id")
+    parts = canonical_parts_sql(_DUCK, u)
+    tok = T.token_count_sql(_DUCK, "text")
+    return f"""
+WITH s AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents
+  WHERE text IS NOT NULL GROUP BY text
+),
+h AS (SELECT doc_id, text, {parts['host']} AS host FROM s),
+q AS (
+  SELECT doc_id, text, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM h
+),
+f AS (
+  SELECT {SPLIT_SQL} AS split, host, {tok} AS tk
+  FROM q WHERE rn <= {DOMAIN_QUOTA}
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(tk) AS BIGINT) AS n_tokens
+FROM f GROUP BY split
+"""
+
+
 KMV_K = 64
 
 
@@ -1568,6 +1630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_exists_subquery": q_exists_subquery,
     "q_dedup_clusters": q_dedup_clusters,
     "q_sketch_distinct": q_sketch_distinct,
+    "q_release_pipeline": q_release_pipeline,
     # time-series joins (r5)
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -1784,6 +1847,7 @@ FROM orders
         minhash_lsh_oracle_sql("documents", "doc_id", band_df_cap=DEDUP_BAND_CAP)
     ),
     "q_sketch_distinct": _oracle_sketch_distinct(),
+    "q_release_pipeline": _oracle_release_pipeline(),
     "q_asof_join": """
 WITH u AS (
   SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT) AS ref_id
