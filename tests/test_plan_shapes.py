@@ -145,6 +145,30 @@ def test_neardup_fallback_grid_replication_is_sqrt(spark):
     assert mods == {"8"}, f"grid modulus must be sqrt(64)=8, got {mods}"
 
 
+def test_partition_pruned_scan(spark, tmp_path):
+    """Hive-style partition pruning: a filter on the partition column
+    must land in PartitionFilters (directories never listed/read), and
+    column pruning must shrink ReadSchema to the projected column —
+    together with the pushdown and bucketing contracts this covers the
+    three write-time layouts a 100 TB table relies on."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ev_part")
+    spark.read.parquet(f"{SF}/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]* = click\)", plan)
+    assert "ReadSchema: struct<event_id:bigint>" in plan
+
+
 def test_asof_join_plan_shape(spark):
     """The as-of join must compile to NO join operator at all — the
     tagged-union + per-user window shape.  A range-theta formulation
