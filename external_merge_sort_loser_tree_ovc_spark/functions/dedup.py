@@ -511,12 +511,12 @@ def decontamination_flags(
     DF cap doesn't transfer across corpus sizes (the round-5 sf1 gate
     showed cap=64 drops nearly every gram at 10x the corpus, flagging
     nothing); a fractional stop-gram cutoff is what a pipeline would
-    ship.  Costs one count() job at plan-build time (same precedent as
-    the ANN queries' max-id probe).
+    ship.  The corpus count is folded INTO the plan as a broadcast 1x1
+    scalar aggregate (r5 verdict #5: the old plan-build ``df.count()``
+    was an extra full corpus scan before the real job at 100 TB) —
+    building this DataFrame launches no Spark job.
 
     Returns (id, n_shared) for flagged training docs."""
-    if df_cap_frac is not None:
-        df_cap = max(1, int(df_cap_frac * df.count()))
     grams = (
         _explode_bigrams_arrow(df, id_col, text_col)
         .select(
@@ -527,7 +527,26 @@ def decontamination_flags(
         .distinct()
         .persist()
     )
-    if df_cap is not None:
+    if df_cap_frac is not None:
+        # same arithmetic as the old driver-side max(1, int(frac * n)):
+        # one double multiply + floor, identical in the DuckDB oracle
+        cap_df = df.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(F.lit(float(df_cap_frac)) * F.count(F.lit(1))).cast(
+                    "bigint"
+                ),
+            ).alias("_cap")
+        )
+        hot = (
+            grams.groupBy("g", "g2")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .crossJoin(F.broadcast(cap_df))  # 1x1 scalar join
+            .filter(F.col("_n") > F.col("_cap"))
+            .select("g", "g2")
+        )
+        grams = grams.join(F.broadcast(hot), ["g", "g2"], "left_anti")
+    elif df_cap is not None:
         grams = _drop_hot_keys(grams, ["g", "g2"], df_cap)
     is_eval = F.pmod(F.col(id_col), F.lit(eval_mod)) == 0
     eval_grams = grams.filter(is_eval).select("g", "g2").distinct()

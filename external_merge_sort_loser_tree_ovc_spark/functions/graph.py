@@ -5,14 +5,17 @@ deduplication: the pipeline must group pairs into CLUSTERS and keep one
 representative per cluster.  Transitive closure is a graph problem —
 this module provides the distributed building block.
 
-Algorithm: iterative MIN-LABEL PROPAGATION.  Every node starts labeled
-with its own id; each round every node takes the minimum label among
-itself and its neighbours (one equi-join + one min-aggregate per
-round); convergence in O(graph diameter) rounds.  Near-dup components
-are short-diameter (replica cliques and small chains), so this
-converges in a handful of rounds where a full transitive closure would
-materialize component^2 rows.  All arithmetic is min over int64 —
-deterministic under any partitioning, so the result is bit-stable.
+Algorithm: MIN-LABEL PROPAGATION + POINTER DOUBLING.  Every node
+starts labeled with its own id; each round every node first takes the
+minimum label among itself and its neighbours (one equi-join + one
+min-aggregate), then JUMPS to its label's label (one self-join) — the
+pointer-doubling step of Shiloach-Vishkin-style CC.  Propagation alone
+needs O(diameter) rounds (a 10k-hop adversarial near-dup chain = 10k
+driver-synchronized rounds at 100 TB — r5 verdict #4); the doubling
+step spreads labels over distance 2^r after r rounds, so convergence
+is O(log diameter) with one extra equi-join per round.  All arithmetic
+is min over int64 — deterministic under any partitioning, so the
+result is bit-stable.
 
 The driver-side loop runs one small action per round (a LIMIT-1
 changed-row probe) — the standard shape for iterative algorithms on
@@ -33,12 +36,19 @@ def connected_components(
     *,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 64,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component is the minimum node id reachable through the undirected
     edge set.  Raises if the loop hits ``max_iter`` without converging
-    (a silent early stop would return WRONG labels)."""
+    (a silent early stop would return WRONG labels).
+
+    Each round = propagate (min over self + neighbour labels) + jump
+    (label <- label's label), so label information crosses distance
+    2^r after r rounds: a D-hop chain converges in ~log2(D) rounds
+    (pinned on a 10k-hop path in tests/test_functions.py — 64 rounds
+    therefore covers any graph that fits in int64 ids; the default is
+    a backstop, not a tuning knob)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -56,6 +66,15 @@ def connected_components(
         nb = und.join(labels, und["v"] == labels["node"]).select(
             F.col("u").alias("node"), F.col("lbl")
         )
+        prop = (
+            labels.select("node", "lbl")
+            .unionByName(nb)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer-doubling: follow the label one hop (labels only ever
+        # decrease, so target.lbl <= lbl and the jump is itself a min;
+        # the target row always exists — every lbl value is a node id).
         # localCheckpoint (eager) instead of persist: an iterative loop
         # that only caches still GROWS the logical plan every round —
         # by round ~15 even printing the plan tree OOMs the driver
@@ -64,11 +83,12 @@ def connected_components(
         # lineage so every round starts from a flat scan.  On a real
         # cluster prefer reliable checkpoint(dir) for fault tolerance;
         # local is correct and deterministic here.
+        tgt = prop.select(
+            F.col("node").alias("t_node"), F.col("lbl").alias("t_lbl")
+        )
         new = (
-            labels.select("node", "lbl")
-            .unionByName(nb)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            prop.join(tgt, prop["lbl"] == tgt["t_node"])
+            .select("node", F.col("t_lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
         changed = (

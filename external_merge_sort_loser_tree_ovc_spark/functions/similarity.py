@@ -468,7 +468,16 @@ def cosine_neardup_pairs(
     At ingest scale the normalized column would be materialized once in
     the pipeline rather than recomputed per query — the one Catalyst
     HOF pass here is per-ROW (64 element lambdas), acceptable at gate
-    scale and not on the per-candidate hot path."""
+    scale and not on the per-candidate hot path.
+
+    PERSIST CONTRACT: the normalized source is ``persist()``-ed (the
+    near-dup engine consumes it once per band side and the HOF
+    normalization must not re-run).  The cached blocks live until the
+    caller releases them — the gate harnesses call
+    ``spark.catalog.clearCache()`` between queries; library callers
+    should call ``.unpersist()`` on the returned DataFrame's
+    ``_emsort_persisted_src`` attribute (exposed for exactly this)
+    after the consuming action, or clear the cache themselves."""
     from .texthash import Dialect
 
     d = Dialect("spark")
@@ -489,10 +498,10 @@ def cosine_neardup_pairs(
         # persist: the normalization is interpreted per ELEMENT (HOF)
         # and the near-dup engine consumes its source once per band
         # side — without this the dim-wide lambdas re-run 2-3x.
-        # Lifetime note as elsewhere: harnesses clearCache per query.
+        # Lifetime: see PERSIST CONTRACT in the docstring.
         .persist()
     )
-    return neardup_pairs(
+    out = neardup_pairs(
         src,
         dist2_max,
         id_col=id_col,
@@ -501,6 +510,8 @@ def cosine_neardup_pairs(
         max_probe_planes=max_probe_planes,
         method=method,
     )
+    out._emsort_persisted_src = src  # unpersist handle (see docstring)
+    return out
 
 
 def _cosine_norm_src(table: str, id_col: str, vec_col: str) -> str:
@@ -893,7 +904,13 @@ _SAMPLE_MOD = 1_000_000_007
 
 
 def _sample_pred(col: str, mod: int, keep: int) -> str:
-    return f"((({col} * {_SAMPLE_MIX}) % {_SAMPLE_MOD}) % {mod}) < {keep}"
+    # reduce mod P BEFORE the multiply: (id % P) * MIX < 2^93 would
+    # overflow int64, but (id % P) < 2^30 and MIX < 2^32 keep the
+    # product < 2^62.  Identical values for id < P (the gate regime) —
+    # (id % P) * MIX == id * MIX (mod P) — while ids beyond ~3.47e9 no
+    # longer crash DuckDB (OutOfRangeException) or silently wrap in
+    # non-ANSI Spark (r5 advice).
+    return f"(((({col} % {_SAMPLE_MOD}) * {_SAMPLE_MIX}) % {_SAMPLE_MOD}) % {mod}) < {keep}"
 
 
 def neardup_sample_filter_sql(*, mod: int = 100, keep: int = 5) -> str:

@@ -534,6 +534,141 @@ def q_multimodal_meta(spark, sf_dir):
     return media_metadata(media, "payload", "doc_id")
 
 
+def _ann_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, n_approx, n_hits): per-query size of the approximate
+    top-k and its intersection with the exact top-k.  Both inputs carry
+    (query_id, neighbor_id); the join is a tiny equi-join on the query
+    result sets (O(queries x k) rows), not on the corpus."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        a.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_approx"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_approx").cast("bigint").alias("n_approx"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Driver-checkable derivative for the approximate LSH index (r5
+    verdict ask #2): per-query hits@k of ann_lsh_bucketed against the
+    oracle-gated exact top-k, both over the SAME clustered re-embedding
+    with the SAME rank key and (dist2, neighbor_id) tie-break.
+
+    Everything in the chain is bit-deterministic and partition-
+    independent (seeded per-id clustered fixture, splitmix64 planes,
+    int64 Gram rerank), so hits@k is a deterministic integer.  At the
+    gate config (n_planes=8, probe=4 — identical to q_ann_lsh) the
+    candidate set provably covers the exact top-k on the clustered
+    fixture (measured per-query recall = 1.0 at sf0.001/sf0.01/sf1),
+    and identical rank keys then force the approximate top-k list to
+    EQUAL the exact list — so the oracle predicts (k, k) per query in
+    closed form, the same scheme as the multimodal closed-form oracles.
+    Any regression in the hash family, probe logic, bucket join, or
+    rerank breaks the equality and turns the driver row red (the r3
+    plane-parity collapse would have been caught here)."""
+    raw = _read(spark, sf_dir, "embeddings")
+    mx = raw.agg(F.max("vec_id")).collect()[0][0] or 0
+    emb = clustered_embeddings(raw).persist()
+    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
+    approx = ann_lsh_bucketed(emb, qids, ANN_K, n_planes=8, n_probe_planes=4)
+    exact = ann_topk(emb, qids, ANN_K)
+    return _ann_recall_vs_exact(approx, exact)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Driver-checkable derivative for the approximate IVF index — same
+    scheme as q_ann_lsh_recall (see there): deterministic hits@k vs the
+    exact top-k over the clustered fixture, closed-form (k, k) oracle.
+    Config identical to q_ann_ivf (n_clusters=16, n_probe=4); the
+    integer k-means quantizer is bit-stable across runs and
+    partitionings, so the probed cells — and therefore hits@k — are
+    deterministic."""
+    raw = _read(spark, sf_dir, "embeddings")
+    mx = raw.agg(F.max("vec_id")).collect()[0][0] or 0
+    emb = clustered_embeddings(raw).persist()
+    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
+    approx = ann_ivf(emb, qids, ANN_K, n_clusters=16, n_probe=4)
+    exact = ann_topk(emb, qids, ANN_K)
+    return _ann_recall_vs_exact(approx, exact)
+
+
+def _oracle_ann_recall() -> str:
+    """Closed form: full recall on the clustered fixture -> the
+    approximate list equals the exact list, so n_approx = n_hits = k
+    for every query id."""
+    return (
+        f"SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_approx, "
+        f"CAST({ANN_K} AS BIGINT) AS n_hits FROM embeddings "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0"
+    )
+
+
+# 80% of lineitem rows collapse onto one join key — the deliberately
+# skewed regime the AQE skew-join machinery exists for
+SKEW_HOT_FRAC_MOD = 5  # keys: hot when l_orderkey % 5 != 0
+
+
+def q_skew_join(spark, sf_dir):
+    """Deliberately skewed big-side join (r5 verdict ask #6): 80% of
+    lineitem rows are remapped onto ONE supplier key, then joined to
+    supplier and aggregated per nation.  Semantics (and the oracle) are
+    plain SQL; the SCALE story is the physical plan: with AQE skew-join
+    enabled (engine session default) the hot partition is split into
+    task-sized chunks at runtime — tests/test_aqe_skew.py asserts the
+    executed adaptive plan of THIS query carries ``skew=true`` once the
+    broadcast path is disabled, so the driver row checks the answer and
+    the pytest contract checks the mechanism on the same plan."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    skewed = li.select(
+        F.when(
+            F.col("l_orderkey") % SKEW_HOT_FRAC_MOD != 0, F.lit(1)
+        )
+        .otherwise(F.col("l_suppkey"))
+        .cast("bigint")
+        .alias("sk"),
+        F.expr(_cents("l_extendedprice")).alias("price_c"),
+    )
+    return (
+        skewed.join(sup, skewed["sk"] == sup["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_c").alias("revenue_c"),
+        )
+        .select(
+            "s_nationkey",
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("revenue_c").cast("bigint").alias("revenue_c"),
+        )
+    )
+
+
+def _oracle_skew_join() -> str:
+    return f"""
+WITH sk AS (
+  SELECT CASE WHEN l_orderkey % {SKEW_HOT_FRAC_MOD} <> 0 THEN 1
+              ELSE l_suppkey END AS sk,
+         {_cents('l_extendedprice')} AS price_c
+  FROM lineitem
+)
+SELECT s_nationkey, COUNT(*) AS n_items,
+       CAST(SUM(price_c) AS BIGINT) AS revenue_c
+FROM sk JOIN supplier ON sk = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational built-ins (joins / aggs / windows over the star schema)
 # ---------------------------------------------------------------------------
@@ -671,25 +806,13 @@ FROM documents WHERE text IS NOT NULL
 
 def _oracle_sketch_distinct() -> str:
     from .atscale import M31, _str_int
+    from .functions.sketch import kmv_estimate_oracle_sql
 
-    return f"""
-WITH hs AS (
-  SELECT DISTINCT CAST({_str_int('text', 'duckdb')} AS BIGINT) AS h
-  FROM documents WHERE text IS NOT NULL
-),
-k AS (
-  SELECT MAX(h) AS hk, COUNT(*) AS k_used
-  FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})
-),
-e AS (SELECT COUNT(*) AS n_exact FROM hs)
-SELECT CAST(k_used AS BIGINT) AS k_used,
-       CAST(hk AS BIGINT) AS hk,
-       CAST(CASE WHEN k_used < {KMV_K} THEN n_exact
-            ELSE ({KMV_K - 1} * CAST({M31} AS BIGINT)) // GREATEST(hk, 1)
-            END AS BIGINT) AS est_distinct,
-       CAST(n_exact AS BIGINT) AS n_exact
-FROM k, e
-"""
+    src = (
+        f"SELECT CAST({_str_int('text', 'duckdb')} AS BIGINT) AS h "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    return kmv_estimate_oracle_sql(src, KMV_K, M31)
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -1165,38 +1288,25 @@ KMV_K = 64
 
 def q_sketch_distinct(spark, sf_dir):
     """KMV (k-minimum-values) distinct-count sketch over document
-    texts — the streaming-sketch shape for cardinality at scale: one
-    pass, per-partition k smallest hashes (TakeOrdered — no full
-    distinct shuffle needed for the estimate itself; the exact count
-    rides along for the error context).  Estimator: (k-1) * M / h_k
-    with h_k the k-th smallest distinct hash over [0, M).  UNLIKE
-    engine HLL sketches (approx_count_distinct — implementation-
-    specific, never cross-engine comparable), both the full-string
-    md5-fold hash and the integer-division estimator are shared
-    arithmetic, so the APPROXIMATE estimate itself gates bit-exact
-    against DuckDB."""
+    texts — the ESTIMATOR-ALONE at-scale plan (r5 verdict #3: the old
+    gate query computed the exact distinct alongside, a full shuffle of
+    every distinct hash — exactly the cost the sketch exists to avoid).
+    Per-partition bounded-state k-smallest-distinct via mapInPandas,
+    tiny merge (<= partitions * k 8-byte rows is ALL that ever
+    shuffles; plan contract in tests/test_plan_shapes.py), then
+    (k-1) * M DIV h_k.  UNLIKE engine HLL sketches
+    (approx_count_distinct — implementation-specific, never
+    cross-engine comparable), the md5-fold hash and the integer
+    estimator are shared arithmetic, so the APPROXIMATE estimate
+    itself gates bit-exact against DuckDB (see functions/sketch.py).
+    Error context vs the true count is available via
+    kmv_estimate(include_exact=True) — gate/diagnostic only."""
     from .atscale import M31, _str_int
+    from .functions.sketch import kmv_estimate
 
     d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    hs = d.select(
-        F.expr(_str_int("text", "spark")).cast("bigint").alias("h")
-    ).distinct()
-    kth = (
-        hs.orderBy("h")
-        .limit(KMV_K)
-        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used"))
-    )
-    exact = hs.agg(F.count(F.lit(1)).alias("n_exact"))
-    return kth.crossJoin(exact).select(
-        F.col("k_used").cast("bigint").alias("k_used"),
-        F.col("hk").cast("bigint").alias("hk"),
-        F.expr(
-            f"CAST(CASE WHEN k_used < {KMV_K} THEN n_exact "
-            f"ELSE ({KMV_K - 1} * CAST({M31} AS BIGINT)) DIV GREATEST(hk, 1) "
-            f"END AS BIGINT)"
-        ).alias("est_distinct"),
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-    )
+    hs = d.select(F.expr(_str_int("text", "spark")).cast("bigint").alias("h"))
+    return kmv_estimate(hs, KMV_K, M31)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1276,10 +1386,17 @@ def q_range_join(spark, sf_dir):
     zone).  The incident's own event matches its window — kept,
     so every incident appears (n_events >= 1)."""
     ev = _read(spark, sf_dir, "events")
-    hk = (
-        "(CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) * 24"
-        " + CAST(hour(ts) AS BIGINT))"
-    )
+
+    # hour-bucket expression as a FUNCTION of the column name — a
+    # textual hk.replace("ts", ...) silently corrupts the bucket maths
+    # the moment any other "ts" substring (e.g. "timestamp") enters the
+    # expression (r5 advice)
+    def _hk(col: str) -> str:
+        return (
+            f"(CAST(datediff(CAST({col} AS DATE), DATE'2024-01-01') AS BIGINT)"
+            f" * 24 + CAST(hour({col}) AS BIGINT))"
+        )
+
     inc = (
         ev.filter(F.col("event_id") % 40 == 0)
         .select(
@@ -1290,8 +1407,8 @@ def q_range_join(spark, sf_dir):
                 "t1"
             ),
         )
-        .withColumn("hk0", F.expr(hk.replace("ts", "t0")))
-        .withColumn("hk1", F.expr(hk.replace("ts", "t1")))
+        .withColumn("hk0", F.expr(_hk("t0")))
+        .withColumn("hk1", F.expr(_hk("t1")))
         .withColumn("hk", F.explode(F.expr("sequence(hk0, hk1)")))
         .select("incident_id", "iu", "t0", "t1", "hk")
     )
@@ -1299,7 +1416,7 @@ def q_range_join(spark, sf_dir):
         F.col("user_id").alias("iu"),
         F.col("ts").alias("ets"),
         F.expr(_cents("value")).alias("v_c"),
-        F.expr(hk).alias("hk"),
+        F.expr(_hk("ts")).alias("hk"),
     )
     return (
         inc.join(pts, ["iu", "hk"])
@@ -1312,7 +1429,11 @@ def q_range_join(spark, sf_dir):
     )
 
 
-SPLIT_BUCKET_SQL = "(((doc_id * 2654435761) % 1000000007) % 100)"
+# reduce mod P before the multiply so the product stays < 2^62 for ANY
+# bigint doc_id (raw id * MIX overflows int64 at ids ~3.47e9 — DuckDB
+# raises, non-ANSI Spark silently wraps; r5 advice).  Identical buckets
+# for ids < P, i.e. every gate corpus.
+SPLIT_BUCKET_SQL = "((((doc_id % 1000000007) * 2654435761) % 1000000007) % 100)"
 SPLIT_SQL = (
     f"CASE WHEN {SPLIT_BUCKET_SQL} < 90 THEN 'train' "
     f"WHEN {SPLIT_BUCKET_SQL} < 95 THEN 'val' ELSE 'test' END"
@@ -1568,20 +1689,48 @@ FROM g GROUP BY user_id
 # registry
 # ---------------------------------------------------------------------------
 
+# Registry order is a DRIVER CONTRACT: the round driver evaluates only
+# the FIRST 50 entries of this dict against the DuckDB oracle (verified
+# against CORRECTNESS_r05.json — rows were exactly positions 0-49).
+# Round-6 reorder (r5 verdict ask #1): the 14 round-5 queries that sat
+# at positions 50-63 (and therefore never received a driver row) now
+# occupy the window; 17 long-stable queries that have been driver-green
+# since rounds 1-3 (multimodal sextet, cell trio, raster pair, four
+# SQL-surface queries) rotate to the tail — they keep full repo-side
+# gate coverage (scripts/run_gate.py + sf1) every round.  q_ann_lsh /
+# q_ann_ivf also move to the tail: they are approximate-by-design with
+# deliberately NO oracle (would only ever produce `no_oracle` driver
+# rows), and their driver-checkable recall derivatives
+# (q_ann_lsh_recall / q_ann_ivf_recall, r5 verdict ask #2) sit inside
+# the window instead — so every window row can be green.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sort/merge core (reference operators)
     "q_sort_lineitem": q_sort_lineitem,
     "q_sort_witness": q_sort_witness,
     "q_filter_scan": q_filter_scan,
     "q_topk_orders": q_topk_orders,
-    # spatial suite
-    "q_cell_assign": q_cell_assign,
-    "q_cell_counts": q_cell_counts,
-    "q_cell_rollup": q_cell_rollup,
+    # driver-window rotation: round-5/6 queries needing driver rows
+    "q_array_funcs": q_array_funcs,
+    "q_json_funcs": q_json_funcs,
+    "q_window_frames": q_window_frames,
+    "q_map_funcs": q_map_funcs,
+    "q_exists_subquery": q_exists_subquery,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_sketch_distinct": q_sketch_distinct,
+    "q_release_pipeline": q_release_pipeline,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_split_sample": q_split_sample,
+    "q_domain_quota": q_domain_quota,
+    "q_pii_scrub": q_pii_scrub,
+    "q_decontaminate": q_decontaminate,
+    # round-6 additions
+    "q_ann_lsh_recall": q_ann_lsh_recall,
+    "q_ann_ivf_recall": q_ann_ivf_recall,
+    "q_skew_join": q_skew_join,
+    # spatial core
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
-    "q_raster_tiles": q_raster_tiles,
-    "q_raster_vector": q_raster_vector,
     # training-data pipeline
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_exact_scale": q_dedup_exact_scale,
@@ -1594,14 +1743,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
-    "q_ann_lsh": q_ann_lsh,
-    "q_ann_ivf": q_ann_ivf,
-    "q_multimodal_meta": q_multimodal_meta,
-    "q_multimodal_decode": q_multimodal_decode,
-    "q_multimodal_audio": q_multimodal_audio,
-    "q_multimodal_resize": q_multimodal_resize,
-    "q_multimodal_png": q_multimodal_png,
-    "q_multimodal_video": q_multimodal_video,
     "q_text_extract": q_text_extract,
     "q_doc_chunks": q_doc_chunks,
     "q_prep_pipeline": q_prep_pipeline,
@@ -1617,28 +1758,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_percentiles": q_percentiles,
+    "q_grouping_sets": q_grouping_sets,
+    # ---- driver window boundary (position 50) ----
+    # everything below is driver-green since rounds 1-3 (or no_oracle
+    # by design) and keeps repo-gate + sf1 coverage every round
+    "q_cell_assign": q_cell_assign,
+    "q_cell_counts": q_cell_counts,
+    "q_cell_rollup": q_cell_rollup,
+    "q_raster_tiles": q_raster_tiles,
+    "q_raster_vector": q_raster_vector,
+    "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_audio": q_multimodal_audio,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_png": q_multimodal_png,
+    "q_multimodal_video": q_multimodal_video,
     "q_cube_events": q_cube_events,
     "q_pivot_revenue": q_pivot_revenue,
-    "q_percentiles": q_percentiles,
     "q_set_ops": q_set_ops,
     "q_string_date_funcs": q_string_date_funcs,
-    "q_grouping_sets": q_grouping_sets,
-    "q_array_funcs": q_array_funcs,
-    "q_json_funcs": q_json_funcs,
-    "q_window_frames": q_window_frames,
-    "q_map_funcs": q_map_funcs,
-    "q_exists_subquery": q_exists_subquery,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_sketch_distinct": q_sketch_distinct,
-    "q_release_pipeline": q_release_pipeline,
-    # time-series joins (r5)
-    "q_asof_join": q_asof_join,
-    "q_range_join": q_range_join,
-    # training-data pipeline (r5 batch 2)
-    "q_split_sample": q_split_sample,
-    "q_domain_quota": q_domain_quota,
-    "q_pii_scrub": q_pii_scrub,
-    "q_decontaminate": q_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1893,4 +2034,10 @@ FROM documents
         min_shared=DECONTAM_MIN_SHARED,
         df_cap_frac=DECONTAM_DF_FRAC,
     ),
+    # round-6: closed-form recall derivatives for the approximate ANN
+    # indexes (full per-query recall on the clustered fixture =>
+    # approximate top-k equals exact top-k, see q_ann_lsh_recall)
+    "q_ann_lsh_recall": _oracle_ann_recall(),
+    "q_ann_ivf_recall": _oracle_ann_recall(),
+    "q_skew_join": _oracle_skew_join(),
 }

@@ -366,6 +366,55 @@ def test_connected_components_vs_union_find(spark):
     assert dict(zip(got.node, got.component)) == expect
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """r5 verdict #4: a 10k-hop chain (adversarial near-dup diameter)
+    must converge in O(log diameter) rounds, not O(diameter).  With
+    pointer doubling, label information crosses distance 2^r after r
+    rounds, so max_iter=18 (log2(10000) ~ 13.3 plus slack) must
+    suffice where pure propagation would need ~10k rounds — the
+    max_iter cap doubles as the round-count pin: exceeding it raises."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.graph import (
+        connected_components,
+    )
+
+    n = 10_000
+    base = 1_000_000
+    df = spark.range(n - 1).selectExpr(
+        f"id + {base} AS id_a", f"id + {base} + 1 AS id_b"
+    ).repartition(8)
+    got = connected_components(df, max_iter=18).toPandas()
+    assert len(got) == n
+    assert (got.component == base).all()
+
+
+def test_decontamination_plan_build_launches_no_job(spark):
+    """r5 verdict #5: the fractional stop-gram cap used to run a
+    ``df.count()`` at plan-BUILD time — a full corpus scan before the
+    real job at 100 TB.  The cap is now a broadcast scalar aggregate
+    inside the plan, so building the DataFrame must launch zero Spark
+    jobs (counted via the app status store)."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        decontamination_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("decontam_plan_probe", "plan-build job probe")
+    try:
+        flagged = decontamination_flags(
+            docs, "doc_id", eval_mod=97, min_shared=20, df_cap_frac=0.128
+        )
+        built_jobs = sc.statusTracker().getJobIdsForGroup("decontam_plan_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert built_jobs == [], (
+        f"plan build launched Spark job(s) {built_jobs} — corpus count not "
+        "folded into plan"
+    )
+    # and the folded plan still executes
+    assert flagged.count() > 0
+
+
 def test_cogroup_apply_rejects_key_type_mismatch(spark):
     """The plan-build contract guarding the whole cogroup pattern:
     mismatched grouping-key dataTypes are silent group mis-alignment in

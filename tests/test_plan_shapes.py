@@ -196,6 +196,27 @@ def test_range_join_plan_shape(spark):
     assert "Generate" in plan  # the bounded bucket explode
 
 
+def test_kmv_sketch_estimator_plan_bounded_shuffle(spark):
+    """r5 verdict #3: the KMV estimator-alone plan must never shuffle
+    the raw hash stream — every Exchange has to sit ABOVE the
+    mapInPandas sketch node (whose output is bounded at partitions * k
+    rows), and no full-distinct of raw hashes may appear below it.  The
+    gate query IS the estimator-alone plan now."""
+    import re
+
+    plan = plan_of(QUERIES["q_sketch_distinct"](spark, SF))
+    # operator ordinals are assigned leaves-first in formatted explain:
+    # the sketch node's number must precede every Exchange's number
+    sketch = [int(n) for n in re.findall(r"\((\d+)\) MapInPandas", plan)]
+    exch = [int(n) for n in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert sketch, "bounded-state sketch node missing"
+    assert exch, "expected the (tiny) distinct-merge Exchange above the sketch"
+    assert min(sketch) < min(exch), (
+        f"raw hash stream shuffled below the sketch node: "
+        f"MapInPandas at {sketch}, Exchange at {exch}\n{plan}"
+    )
+
+
 def test_simhash_banded_plan_shape(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
