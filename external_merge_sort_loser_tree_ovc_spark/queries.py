@@ -1309,6 +1309,82 @@ def q_sketch_distinct(spark, sf_dir):
     return kmv_estimate(hs, KMV_K, M31)
 
 
+# deterministic 2% content-hash sample for the quantile sketch:
+# reduce mod P BEFORE the Knuth multiply (int64-safe for any bigint
+# key, same scheme as SPLIT_BUCKET_SQL); keyed on the composite row id
+# (orderkey, linenumber), NEVER df.sample (partition-layout dependent)
+QUANT_SAMPLE_PRED = (
+    "((((((l_orderkey * 7 + l_linenumber) % 1000000007) * 2654435761)"
+    " % 1000000007) % 50) = 0)"
+)
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Quantile ESTIMATION at scale: exact order statistics over a
+    deterministic 2% content-hash sample — the bounded-cost quantile
+    shape for 100 TB (the full-data exact path is q_percentiles; a full
+    sort for a percentile is exactly what one avoids at scale).  Engine
+    quantile sketches (approxQuantile / approx_percentile) are
+    merge-order-dependent and implementation-specific — never
+    cross-engine comparable, and not even stable across Spark runs on
+    a cluster.  This sample IS: membership depends only on row content
+    (integer hash of the composite key), so any partitioning, any
+    engine, any scale produces the same sample set, and the selected
+    ranks are deterministic values of that multiset (value-at-rank is
+    tie-order-independent).  Plan: narrow filter at the scan (2% of
+    rows survive), global sort of the SAMPLE only (plan contract:
+    every Sort/Exchange sits above the sample filter).  Output in
+    integer cents: (n_sample, p50_c, p90_c, p99_c) at lower order
+    statistics rank = (n-1)*p DIV 100."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = li.filter(F.expr(QUANT_SAMPLE_PRED)).select(
+        F.expr(_cents("l_extendedprice")).alias("v_c")
+    )
+    w = Window.orderBy("v_c")
+    wa = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = s.select(
+        "v_c",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+
+    def pick(p: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"((n - 1) * {p}) DIV 100"),
+                F.col("v_c"),
+            )
+        ).cast("bigint").alias(f"p{p}_c")
+
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_sample"),
+        pick(50),
+        pick(90),
+        pick(99),
+    )
+
+
+def _oracle_sketch_quantiles() -> str:
+    return f"""
+WITH s AS (
+  SELECT {_cents('l_extendedprice')} AS v_c FROM lineitem
+  WHERE {QUANT_SAMPLE_PRED}
+),
+r AS (
+  SELECT v_c, ROW_NUMBER() OVER (ORDER BY v_c) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_sample,
+       CAST(MAX(CASE WHEN rn = ((n-1)*50)//100 THEN v_c END) AS BIGINT) AS p50_c,
+       CAST(MAX(CASE WHEN rn = ((n-1)*90)//100 THEN v_c END) AS BIGINT) AS p90_c,
+       CAST(MAX(CASE WHEN rn = ((n-1)*99)//100 THEN v_c END) AS BIGINT) AS p99_c
+FROM r
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup CLUSTER formation — the step after pairwise candidates
     that actual deduplication requires: connected components over the
@@ -1728,6 +1804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh_recall": q_ann_lsh_recall,
     "q_ann_ivf_recall": q_ann_ivf_recall,
     "q_skew_join": q_skew_join,
+    "q_sketch_quantiles": q_sketch_quantiles,
     # spatial core
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
@@ -1757,7 +1834,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semi_anti_join": q_semi_anti_join,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
-    "q_rollup_revenue": q_rollup_revenue,
     "q_percentiles": q_percentiles,
     "q_grouping_sets": q_grouping_sets,
     # ---- driver window boundary (position 50) ----
@@ -1780,6 +1856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_revenue": q_pivot_revenue,
     "q_set_ops": q_set_ops,
     "q_string_date_funcs": q_string_date_funcs,
+    "q_rollup_revenue": q_rollup_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -2040,4 +2117,5 @@ FROM documents
     "q_ann_lsh_recall": _oracle_ann_recall(),
     "q_ann_ivf_recall": _oracle_ann_recall(),
     "q_skew_join": _oracle_skew_join(),
+    "q_sketch_quantiles": _oracle_sketch_quantiles(),
 }

@@ -217,6 +217,25 @@ def test_kmv_sketch_estimator_plan_bounded_shuffle(spark):
     )
 
 
+def test_quantile_sample_plan_no_full_sort(spark):
+    """The sample-based quantile sketch must never sort or shuffle the
+    full table: the deterministic 2% content-hash filter sits BELOW
+    every Sort and Exchange (the global sort is of the sample only).
+    Operator ordinals are leaves-first in formatted explain."""
+    import re
+
+    plan = plan_of(QUERIES["q_sketch_quantiles"](spark, SF))
+    filt = [int(n) for n in re.findall(r"\((\d+)\) Filter", plan)]
+    sorts = [int(n) for n in re.findall(r"\((\d+)\) Sort", plan)]
+    exch = [int(n) for n in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert filt, "sample filter missing from plan"
+    assert sorts, "expected the sample-only global sort"
+    assert min(filt) < min(sorts + exch), (
+        f"full table sorted/shuffled before the sample filter: "
+        f"Filter at {filt}, Sort at {sorts}, Exchange at {exch}"
+    )
+
+
 def test_simhash_banded_plan_shape(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
