@@ -1309,6 +1309,85 @@ def q_sketch_distinct(spark, sf_dir):
     return kmv_estimate(hs, KMV_K, M31)
 
 
+# heavy hitters: 40% of events collapse onto 11 hot keys (~3.6% each),
+# the rest are singletons — the head-plus-long-tail regime the two-pass
+# candidate/verify shape exists for
+HH_KEY_SQL = "(CASE WHEN event_id % 5 < 2 THEN event_id % 11 ELSE event_id END)"
+HH_SAMPLE_PRED = (
+    "(((((event_id % 1000000007) * 2654435761) % 1000000007) % 50) = 0)"
+)
+HH_PHI_NUM, HH_PHI_DEN = 1, 100  # heavy = > 1% of all rows
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Heavy hitters (frequent items) at scale: keys covering more
+    than phi = 1% of rows, by TWO-PASS candidate verification — (1)
+    candidate keys = those above phi/2 frequency in the deterministic
+    2% content-hash sample, (2) exact counts computed ONLY for
+    candidates (broadcast semi-join below the aggregation), final
+    filter at the true phi threshold.  The naive groupBy(key).count()
+    shuffles the ENTIRE distinct keyspace — at web scale (keys ~ URLs,
+    users) that keyspace is the same order as the corpus; here the
+    exact-count shuffle carries only candidate-key rows, and the
+    candidate set is bounded (< 2/phi keys can exceed phi/2 sample
+    frequency).  Engine sketches (Misra-Gries / CMS / ``approx_top_k``)
+    are merge-order-dependent — never cross-engine comparable; every
+    step here (sample membership, integer thresholds, exact counts) is
+    shared arithmetic, so the DuckDB oracle runs the IDENTICAL
+    two-pass logic and the result gates bit-exact.  (The sampled
+    candidate pass has the standard one-sided risk of missing a
+    borderline-heavy key — the phi/2 bar is the classical guard; both
+    engines share whatever it decides, and the keys it emits carry
+    EXACT counts.)  Output: (key, cnt, n_total) for heavy keys."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr(HH_KEY_SQL).cast("bigint").alias("k"),
+        F.expr(HH_SAMPLE_PRED).alias("in_s"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.col("in_s").cast("bigint")).cast("bigint").alias("n_samp"),
+    )
+    cand = (
+        ev.filter(F.col("in_s"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .crossJoin(F.broadcast(tot))  # 1x1 scalar join
+        .filter(F.col("c_s") * (2 * HH_PHI_DEN) > F.col("n_samp") * HH_PHI_NUM)
+        .select("k")
+    )
+    return (
+        ev.join(F.broadcast(cand), "k")  # only candidate rows aggregate
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HH_PHI_DEN > F.col("n_total") * HH_PHI_NUM)
+        .select(F.col("k").alias("key"), "cnt", "n_total")
+    )
+
+
+def _oracle_heavy_hitters() -> str:
+    return f"""
+WITH e AS (
+  SELECT {HH_KEY_SQL} AS k, {HH_SAMPLE_PRED} AS in_s FROM events
+),
+tot AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS n_samp
+  FROM e
+),
+cand AS (
+  SELECT k FROM e, tot WHERE in_s
+  GROUP BY k, n_samp
+  HAVING COUNT(*) * {2 * HH_PHI_DEN} > n_samp * {HH_PHI_NUM}
+)
+SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(n_total AS BIGINT) AS n_total
+FROM e JOIN cand USING (k), tot
+GROUP BY k, n_total
+HAVING COUNT(*) * {HH_PHI_DEN} > n_total * {HH_PHI_NUM}
+"""
+
+
 # deterministic 2% content-hash sample for the quantile sketch:
 # reduce mod P BEFORE the Knuth multiply (int64-safe for any bigint
 # key, same scheme as SPLIT_BUCKET_SQL); keyed on the composite row id
@@ -1805,6 +1884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_recall": q_ann_ivf_recall,
     "q_skew_join": q_skew_join,
     "q_sketch_quantiles": q_sketch_quantiles,
+    "q_heavy_hitters": q_heavy_hitters,
     # spatial core
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
@@ -1829,7 +1909,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q1": q_tpch_q1,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_window_topk": q_window_topk,
-    "q_window_funcs": q_window_funcs,
     "q_outer_join": q_outer_join,
     "q_semi_anti_join": q_semi_anti_join,
     "q_events_hourly": q_events_hourly,
@@ -1857,6 +1936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_set_ops": q_set_ops,
     "q_string_date_funcs": q_string_date_funcs,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_window_funcs": q_window_funcs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2118,4 +2198,5 @@ FROM documents
     "q_ann_ivf_recall": _oracle_ann_recall(),
     "q_skew_join": _oracle_skew_join(),
     "q_sketch_quantiles": _oracle_sketch_quantiles(),
+    "q_heavy_hitters": _oracle_heavy_hitters(),
 }

@@ -236,6 +236,27 @@ def test_quantile_sample_plan_no_full_sort(spark):
     )
 
 
+def test_heavy_hitters_candidate_join_below_final_agg(spark):
+    """Two-pass heavy hitters: the exact-count aggregation must only
+    see candidate-key rows — a BroadcastHashJoin (candidate semi-join)
+    has to sit below the final aggregation's Exchange, so the shuffle
+    carries candidate rows, never the full distinct keyspace."""
+    import re
+
+    plan = plan_of(QUERIES["q_heavy_hitters"](spark, SF))
+    bj = [int(n) for n in re.findall(r"\((\d+)\) BroadcastHashJoin", plan)]
+    # plain shuffle Exchanges only ("(n) Exchange"; BroadcastExchange
+    # doesn't match) — arguments like hashpartitioning live on the
+    # following line in formatted mode
+    exch = [int(n) for n in re.findall(r"\((\d+)\) Exchange\b", plan)]
+    assert bj, "candidate broadcast join missing"
+    assert exch, "expected the candidate-only aggregation Exchange"
+    assert min(bj) < max(exch), (
+        f"candidate join not below an aggregation Exchange: "
+        f"BroadcastHashJoin at {bj}, Exchange at {exch}"
+    )
+
+
 def test_simhash_banded_plan_shape(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
