@@ -12,13 +12,14 @@ predicts what a correct decode must produce without seeing bytes):
   - PNG (zlib + all 5 filters) ``q_multimodal_png``
   - RIFF/WAVE PCM16 audio      ``q_multimodal_audio``
   - YUV4MPEG2 raw video        ``q_multimodal_video``
+  - baseline JPEG (Huffman + IDCT) ``q_multimodal_jpeg``
 
-Stub path: JPEG (the one format whose entropy decode genuinely needs a
-codec library not in this container) remains a clearly-marked
-deterministic fake behind ``allow_fake=True`` — the Spark-side plumbing
-(schema, Arrow batch shape, ``mapInPandas`` signature, partitioning) is
-real and tested, and ``media_metadata`` has a bytes-arithmetic DuckDB
-oracle.
+Stub path: only decode variants that genuinely need an external codec
+library remain behind ``allow_fake=True`` (progressive JPEG's spectral
+selection / successive approximation scans, chroma-subsampled color,
+and real video codecs).  The Spark-side plumbing (schema, Arrow batch
+shape, ``mapInPandas`` signature, partitioning) is real and tested,
+and ``media_metadata`` has a bytes-arithmetic DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -110,10 +111,11 @@ def decode_media(
     the real decoder is not available in this environment."""
     if not allow_fake:
         raise NotImplementedError(
-            "JPEG entropy decode needs a codec library not installed in "
-            "this container (PPM/PNG/WAV/y4m all have REAL decoders — "
-            "see decode_ppm_media / decode_png_media / decode_wav_media "
-            "/ sample_y4m_media); pass allow_fake=True to exercise the "
+            "progressive-JPEG / subsampled-color decode needs a codec "
+            "library not installed in this container (PPM/PNG/WAV/y4m/"
+            "baseline-JPEG all have REAL decoders — see decode_ppm_media "
+            "/ decode_png_media / decode_wav_media / sample_y4m_media / "
+            "decode_jpeg_media); pass allow_fake=True to exercise the "
             "Spark plumbing with the deterministic fake decoder"
         )
 
@@ -850,5 +852,425 @@ SELECT {id_col} AS media_id,
        CAST({y_sum} AS BIGINT) AS y_sum,
        CAST(({id_col} * 7) % 200 AS BIGINT) AS u_val,
        CAST(({id_col} * 17) % 200 AS BIGINT) AS v_val
+FROM {table}
+"""
+
+
+# --- REAL decode path: JPEG (baseline DCT, Huffman entropy coding) -----------
+#
+# Baseline sequential JPEG needs no external codec library either: the
+# entropy layer is canonical Huffman coding (ITU T.81 Annex C/F), the
+# transform is an 8x8 type-III DCT, and both are plain integer/NumPy
+# arithmetic.  The synthesizer emits REAL spec-conformant JFIF files —
+# SOI, APP0, DQT, two DHT segments (tables are *read from the file* by
+# the decoder, not assumed), SOF0, SOS, entropy-coded data with 0xFF00
+# byte stuffing, EOI — and the decoder implements the full baseline
+# grayscale path: marker walk, DQT/DHT/SOF0/SOS parsing, bit-level
+# Huffman decode with DC prediction and AC run-length/EOB/ZRL symbols,
+# dequantization, zigzag-to-natural reorder, float IDCT, level shift,
+# clip.  (Progressive JPEG and multi-component chroma upsampling remain
+# out of scope — see decode_media's stub note.)
+#
+# Oracle trick (same scheme as PPM/PNG/WAV/Y4M): gate payloads carry
+# DC-only blocks.  The IDCT of a DC-only block is exactly flat —
+# F(0,0) = 8*s decodes to s + 128 on every pixel with no float error
+# (8*s * (1/(2*sqrt(2)))^2 == s in IEEE double) — so per-block pixel
+# values, and hence the whole-image pixel sum, follow a closed-form law
+# in the id that DuckDB predicts without parsing bytes.  The AC decode
+# path (run-length, ZRL, EXTEND of negative coefficients) is exercised
+# by pytest via synth_jpeg(..., ac_test=True) fixtures.
+#
+# Synthetic image law (distinct moduli from the other formats):
+#   width  w = 8 * (1 + id % 3)         (1..3 blocks per row)
+#   height h = 8 * (1 + id % 2)         (1..2 block rows)
+#   block b (raster order): every pixel = (id*7 + b*17) % 190
+#   px_sum = 64 * sum_b ((id*7 + b*17) % 190),  b < (w/8)*(h/8) <= 6
+
+_JPG_BASE_MOD = 190
+
+# DC luminance table from ITU T.81 Annex K.3 (public spec constants).
+_JPG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPG_DC_VALS = tuple(range(12))
+# Tiny custom AC table (the decoder must parse DHT to use it): EOB,
+# (run 0, size 1), (run 1, size 1), ZRL.  Three 2-bit codes + one
+# 3-bit code — the all-ones short code stays unused per T.81 C.2.
+_JPG_AC_BITS = (0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPG_AC_VALS = (0x00, 0x01, 0x11, 0xF0)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _zigzag():
+    """Natural (row, col) index for each of the 64 zigzag positions."""
+    idx = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+        ),
+    )
+    return [r * 8 + c for r, c in idx]
+
+
+_JPG_ZZ = _zigzag()
+
+# Quantization table (natural order): Q[0,0] = 8 makes the DC-only law
+# integer-exact; the AC entries are arbitrary but nontrivial so an AC
+# dequantize bug shows up in the pytest fixtures.
+_JPG_QTAB = np.full(64, 16, dtype=np.int64)
+_JPG_QTAB[0] = 8
+_JPG_QTAB[1] = 11
+_JPG_QTAB[8] = 12
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:
+                    self.bytes.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:  # pad with 1-bits per T.81 F.1.2.3
+            self.put(1, 1)
+        return bytes(self.bytes)
+
+
+def _jpg_segments(w: int, h: int) -> bytes:
+    """All header segments up to and including SOS (grayscale baseline)."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt_zz = bytes(int(_JPG_QTAB[_JPG_ZZ[k]]) for k in range(64))
+    dqt = seg(0xDB, b"\x00" + dqt_zz)
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    sof0 = seg(
+        0xC0,
+        b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x01"
+        + b"\x01\x11\x00",
+    )
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + dht_dc + dht_ac + sof0 + sos
+
+
+def _put_coeff(bw, codes, sym, diff):
+    code, length = codes[sym]
+    bw.put(code, length)
+    t = sym & 0x0F
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def synth_jpeg(ids: np.ndarray, *, ac_test: bool = False) -> list[bytes]:
+    """Deterministic baseline JFIF payloads following the module law.
+
+    With ``ac_test=True`` each block additionally carries two AC
+    coefficients — zigzag position 1 with value +1 and (after a ZRL
+    run of 16 plus one more zero) zigzag position 19 with value -1 —
+    exercising run-length, ZRL, and negative EXTEND on decode (used by
+    pytest; gate payloads stay DC-only so the oracle is closed-form)."""
+    dc_codes = _huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    out = []
+    for i in ids:
+        i = int(i)
+        w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+        nb = (w // 8) * (h // 8)
+        bw = _BitWriter()
+        pred = 0
+        for b in range(nb):
+            s = (i * 7 + b * 17) % _JPG_BASE_MOD - 128
+            diff = s - pred
+            pred = s
+            t = abs(diff).bit_length()
+            _put_coeff(bw, dc_codes, t, diff)
+            if ac_test:
+                _put_coeff(bw, ac_codes, 0x01, 1)  # zz 1: +1
+                _put_coeff(bw, ac_codes, 0xF0, 0)  # ZRL: 16 zeros
+                _put_coeff(bw, ac_codes, 0x11, -1)  # 1 more zero, zz 19: -1
+            _put_coeff(bw, ac_codes, 0x00, 0)  # EOB
+        out.append(_jpg_segments(w, h) + bw.flush() + b"\xff\xd9")
+    return out
+
+
+def _idct_mat() -> np.ndarray:
+    u = np.arange(8.0)[:, None]
+    x = np.arange(8.0)[None, :]
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    m[0, :] /= np.sqrt(2)
+    return m
+
+
+_JPG_IDCT_M = _idct_mat()
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes, *, return_coeffs: bool = False):
+    """Baseline grayscale JPEG decoder (marker walk, DQT/DHT/SOF0/SOS,
+    Huffman + DC-pred + AC run-length entropy decode, dequantize,
+    zigzag reorder, IDCT, level shift, clip).  Returns (w, h,
+    pixels[h, w] uint8); with return_coeffs=True also the dequantized
+    natural-order coefficient array [nblocks, 64] (pre-IDCT, for
+    entropy-layer tests).  Raises on progressive or multi-component
+    scans — this engine's honest scope is baseline grayscale."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    decs: dict[tuple, dict] = {}
+    w = h = None
+    comp_tq = dc_tbl = ac_tbl = None
+    i = 2
+    entropy = None
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("marker sync lost")
+        m = payload[i + 1]
+        i += 2
+        if m == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[i : i + 2], "big")
+        seg = payload[i + 2 : i + seg_len]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[_JPG_ZZ[k]] = seg[p + 1 + k]
+                qtabs[tq] = tab
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                dec = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        dec[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                decs[(tc, th)] = dec
+                p += 17 + nv
+        elif m == 0xC0:
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise ValueError(
+                    "multi-component (color) JPEG unsupported — baseline "
+                    "grayscale decoder"
+                )
+            comp_tq = seg[8]
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif m == 0xDA:
+            if seg[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_tbl = decs[(0, seg[2] >> 4)]  # seg layout: ncomp, Cs1, Td/Ta
+            ac_tbl = decs[(1, seg[2] & 0x0F)]
+            # unstuff entropy bytes until EOI
+            raw = bytearray()
+            p = i + seg_len
+            while p < len(payload):
+                b = payload[p]
+                if b == 0xFF:
+                    nxt = payload[p + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    if nxt == 0xD9:
+                        break
+                    raise ValueError("restart markers unsupported")
+                raw.append(b)
+                p += 1
+            entropy = bytes(raw)
+            break
+        i += seg_len
+    if w is None or entropy is None:
+        raise ValueError("truncated JPEG (no SOF0/SOS)")
+    q = qtabs[comp_tq]
+    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    nb = bw_blocks * bh_blocks
+    rd = _BitReader(entropy)
+    coeffs = np.zeros((nb, 64), dtype=np.int64)
+    pred = 0
+    for b in range(nb):
+        t = rd.huff(dc_tbl)
+        diff = _extend(rd.bits(t), t) if t else 0
+        pred += diff
+        coeffs[b, 0] = pred
+        k = 0
+        while k < 63:
+            sym = rd.huff(ac_tbl)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run + 1
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            coeffs[b, _JPG_ZZ[k]] = _extend(rd.bits(size), size)
+    deq = coeffs * q[None, :]
+    m2 = _JPG_IDCT_M
+    pix = np.empty((nb, 8, 8))
+    for b in range(nb):
+        pix[b] = m2.T @ deq[b].reshape(8, 8).astype(np.float64) @ m2
+    pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+    img = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.uint8)
+    for b in range(nb):
+        by, bx = divmod(b, bw_blocks)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix[b]
+    img = img[:h, :w]
+    if return_coeffs:
+        return w, h, img, deq
+    return w, h, img
+
+
+JPEG_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def decode_jpeg_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL decode: parse every baseline JFIF payload (markers, Huffman
+    tables from DHT, entropy decode, dequantize, IDCT), emit integer
+    pixel-sum stats.  mapInPandas over Arrow batches; no allow_fake."""
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = []
+            for i, payload in zip(ids, pdf[bin_col]):
+                w, h, img = decode_jpeg(bytes(payload))
+                rows.append(
+                    (
+                        int(i),
+                        w,
+                        h,
+                        (w // 8) * (h // 8),
+                        int(img.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_blocks", "px_sum"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=JPEG_DECODE_SCHEMA)
+
+
+def with_synth_jpeg(df: DataFrame, id_col: str, out_col: str = "jpg") -> DataFrame:
+    """Attach the deterministic baseline JFIF payload for each id."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField(out_col, BinaryType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({"media_id": ids, out_col: synth_jpeg(ids)})
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def jpeg_decode_oracle_sql(table: str, id_col: str) -> str:
+    """Closed-form prediction of the baseline-JPEG decode straight from
+    the id: DC-only blocks decode to exactly flat pixels, so the image
+    pixel sum is 64 * sum over blocks of the per-block DC law.  The
+    oracle never parses bytes — a Huffman/DHT/zigzag/IDCT bug in the
+    decoder cannot cancel out."""
+    w = f"(8 * (1 + {id_col} % 3))"
+    h = f"(8 * (1 + {id_col} % 2))"
+    nb = f"((1 + {id_col} % 3) * (1 + {id_col} % 2))"
+    terms = " + ".join(
+        f"(CASE WHEN {b} < {nb} THEN ({id_col} * 7 + {b * 17}) % {_JPG_BASE_MOD}"
+        f" ELSE 0 END)"
+        for b in range(6)
+    )
+    return f"""
+SELECT {id_col} AS media_id,
+       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       CAST({nb} AS INT) AS n_blocks,
+       CAST(64 * ({terms}) AS BIGINT) AS px_sum
 FROM {table}
 """

@@ -46,9 +46,11 @@ from .functions.dedup import (
     simhash_hamming_pairs,
 )
 from .functions.multimodal import (
+    decode_jpeg_media,
     decode_png_media,
     decode_ppm_media,
     decode_wav_media,
+    jpeg_decode_oracle_sql,
     media_metadata,
     media_metadata_oracle_sql,
     png_decode_oracle_sql,
@@ -57,6 +59,7 @@ from .functions.multimodal import (
     resize_ppm_oracle_sql,
     sample_y4m_media,
     wav_decode_oracle_sql,
+    with_synth_jpeg,
     with_synth_png,
     with_synth_ppm,
     with_synth_wav,
@@ -486,6 +489,18 @@ def q_multimodal_video(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     vids = with_synth_y4m(docs, "doc_id")
     return sample_y4m_media(vids, "y4m", "media_id")
+
+
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-gated: spec-conformant JFIF
+    files (SOI/APP0/DQT/DHT/SOF0/SOS segments, Huffman entropy coding
+    with byte stuffing) synthesized per doc, decoded with the pure-
+    NumPy baseline decoder (Huffman tables read from DHT, DC-pred +
+    AC run-length entropy decode, dequantize, zigzag, IDCT).  Gate
+    payloads are DC-only so the decoded pixel sum follows a closed
+    form in doc_id; the AC path is exercised in pytest."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_media(with_synth_jpeg(docs, "doc_id"), "jpg", "media_id")
 
 
 _HTML_PRE = (
@@ -1931,6 +1946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_png": q_multimodal_png,
     "q_multimodal_video": q_multimodal_video,
+    "q_multimodal_jpeg": q_multimodal_jpeg,
     "q_cube_events": q_cube_events,
     "q_pivot_revenue": q_pivot_revenue,
     "q_set_ops": q_set_ops,
@@ -1988,6 +2004,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_resize": resize_ppm_oracle_sql("documents", "doc_id"),
     "q_multimodal_png": png_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
+    "q_multimodal_jpeg": jpeg_decode_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_doc_chunks": chunk_documents_oracle_sql("documents", "doc_id"),
     "q_prep_pipeline": _oracle_prep_pipeline(),

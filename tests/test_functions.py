@@ -879,6 +879,73 @@ def test_png_decode_roundtrip_filters_and_errors():
         decode_png(whole[: len(whole) - 13])
 
 
+def test_jpeg_decode_roundtrip_ac_and_errors():
+    """Real baseline JPEG: DC-only payloads must decode to exactly flat
+    blocks per the module law; the AC entropy path (run-length, ZRL,
+    negative EXTEND) must reconstruct the encoded coefficients; the
+    IDCT must agree with an independently-written naive double-sum
+    IDCT; progressive/multi-component/corrupt payloads rejected."""
+    import pytest as _pt
+
+    from external_merge_sort_loser_tree_ovc_spark.functions.multimodal import (
+        _JPG_BASE_MOD,
+        _JPG_QTAB,
+        _JPG_ZZ,
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    ids = np.array([0, 1, 2, 3, 4, 5, 11, 99, 1234, 7777])
+    for i, payload in zip(ids, synth_jpeg(ids)):
+        i = int(i)
+        w, h, img = decode_jpeg(payload)
+        assert (w, h) == (8 * (1 + i % 3), 8 * (1 + i % 2))
+        for b in range((w // 8) * (h // 8)):
+            by, bx = divmod(b, w // 8)
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == (i * 7 + b * 17) % _JPG_BASE_MOD).all(), (i, b)
+
+    # AC path: ZRL + run-length + negative EXTEND reconstruct exactly
+    for i in [0, 5, 13, 29]:
+        payload = synth_jpeg(np.array([i]), ac_test=True)[0]
+        w, h, img, deq = decode_jpeg(payload, return_coeffs=True)
+        for b in range((w // 8) * (h // 8)):
+            s = (int(i) * 7 + b * 17) % _JPG_BASE_MOD - 128
+            assert deq[b, 0] == 8 * s
+            assert deq[b, _JPG_ZZ[1]] == _JPG_QTAB[_JPG_ZZ[1]]
+            assert deq[b, _JPG_ZZ[19]] == -_JPG_QTAB[_JPG_ZZ[19]]
+            assert set(np.nonzero(deq[b])[0]) <= {0, _JPG_ZZ[1], _JPG_ZZ[19]}
+        # independent IDCT: naive O(64^2) double sum straight from the
+        # T.81 definition (no shared code with the decoder's matrix form)
+        blk = deq[0].reshape(8, 8)
+        ref = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv * blk[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                ref[x, y] = acc / 4
+        ref = np.clip(np.round(ref) + 128, 0, 255).astype(np.uint8)
+        assert (img[:8, :8] == ref).all(), "matrix IDCT != naive IDCT"
+
+    whole = synth_jpeg(np.array([5]))[0]
+    with _pt.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P6 not a jpeg")
+    prog = bytearray(whole)
+    prog[bytes(prog).find(b"\xff\xc0") + 1] = 0xC2
+    with _pt.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    with _pt.raises(ValueError, match="truncated"):
+        decode_jpeg(whole[:20])
+
+
 def test_ann_ivf_recall_and_determinism(spark, emb):
     from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
         ann_ivf,
