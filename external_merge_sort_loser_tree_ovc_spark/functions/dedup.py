@@ -632,3 +632,127 @@ JOIN counts ca ON ca.{id_col} = id_a
 JOIN counts cb ON cb.{id_col} = id_b
 WHERE c * {tau_den} >= {tau_num} * (ca.n + cb.n - c)
 """
+
+
+# --- within-doc repetition filter (Gopher/MassiveText-style) ----------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    dup_num: int = 1,
+    dup_den: int = 5,
+) -> DataFrame:
+    """Per-document word-bigram repetition statistics — the classic
+    within-document quality filter (fraction of duplicated n-grams;
+    Gopher's repetition rules): ``(id, total_bigrams, distinct_bigrams,
+    max_gram_count, dup_flag)`` with ``dup_flag = 1`` iff
+    ``(total - distinct) * dup_den > total * dup_num`` (integer-exact,
+    no float fraction).
+
+    Scale shape: one shuffle keyed on ``(id, gram)`` — the key includes
+    the document id, so no gram is ever a global hot key (unlike the
+    cross-document index in :func:`ngram_jaccard_pairs`) and partial
+    map-side aggregation absorbs within-partition repeats; then a
+    second tiny shuffle on ``id`` over the already-aggregated rows.
+    Bigrams ride the shared Arrow explode (``_explode_bigrams_arrow``);
+    NULL texts produce no rows in either engine."""
+    per_gram = (
+        _explode_bigrams_arrow(df, id_col, text_col)
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").cast("bigint")
+    distinct = F.count(F.lit(1)).cast("bigint")
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            total.alias("total_bigrams"),
+            distinct.alias("distinct_bigrams"),
+            F.max("c").cast("bigint").alias("max_gram_count"),
+        )
+        .withColumn(
+            "dup_flag",
+            (
+                (F.col("total_bigrams") - F.col("distinct_bigrams")) * dup_den
+                > F.col("total_bigrams") * dup_num
+            ).cast("int"),
+        )
+    )
+
+
+def repetition_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    dup_num: int = 1,
+    dup_den: int = 5,
+) -> str:
+    return f"""
+WITH g AS (
+  SELECT {id_col}, unnest({_bigrams_duck(text_col)}) AS g FROM {table}
+),
+per AS (SELECT {id_col}, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT {id_col},
+       CAST(SUM(c) AS BIGINT) AS total_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+       CAST(MAX(c) AS BIGINT) AS max_gram_count,
+       CAST(CASE WHEN (SUM(c) - COUNT(*)) * {dup_den} > SUM(c) * {dup_num}
+            THEN 1 ELSE 0 END AS INT) AS dup_flag
+FROM per GROUP BY {id_col}
+"""
+
+
+# --- incremental (delta) dedup: new batch vs existing corpus ----------------
+
+
+def incremental_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    batch_mod: int = 10,
+    batch_lt: int = 2,
+) -> DataFrame:
+    """Daily-ingest dedup: documents with ``id % batch_mod < batch_lt``
+    form the NEW batch, the rest the existing corpus; survivors are new
+    documents whose text does not already appear in the corpus.
+
+    Scale shape: LEFT ANTI join on ``xxhash64(text)`` — both sides
+    shuffle 8-byte keys instead of document bodies (the corpus side
+    projects the hash only), the same verified scheme as the
+    ``q_dedup_exact_scale`` path.  At 100 TB the corpus-hash side is a
+    compact bucketable table maintained across ingests.  NULL texts are
+    excluded on both sides (hash-of-NULL would otherwise equate them
+    while SQL equality never does)."""
+    src = df.filter(F.col(text_col).isNotNull())
+    is_new = (F.col(id_col) % batch_mod) < batch_lt
+    new_b = src.filter(is_new).select(
+        id_col, "n_chars", F.xxhash64(text_col).alias("_h")
+    )
+    corpus = src.filter(~is_new).select(F.xxhash64(text_col).alias("_h"))
+    return new_b.join(corpus, "_h", "left_anti").select(id_col, "n_chars")
+
+
+def incremental_dedup_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    batch_mod: int = 10,
+    batch_lt: int = 2,
+) -> str:
+    return f"""
+SELECT n.{id_col}, n.n_chars
+FROM {table} n
+WHERE n.{text_col} IS NOT NULL AND n.{id_col} % {batch_mod} < {batch_lt}
+  AND NOT EXISTS (
+    SELECT 1 FROM {table} c
+    WHERE c.{text_col} IS NOT NULL
+      AND c.{id_col} % {batch_mod} >= {batch_lt}
+      AND c.{text_col} = n.{text_col}
+  )
+"""

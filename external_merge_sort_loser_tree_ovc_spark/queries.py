@@ -34,6 +34,8 @@ from .functions.graph import (
 from .functions.dedup import (
     decontamination_flags,
     decontamination_oracle_sql,
+    incremental_dedup_oracle_sql,
+    incremental_dedup_survivors,
     exact_dedup_oracle_sql,
     exact_dedup_scale_oracle_sql,
     exact_dedup_scale_stats,
@@ -42,6 +44,8 @@ from .functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_oracle_sql,
     ngram_jaccard_pairs,
+    repetition_oracle_sql,
+    repetition_stats,
     simhash_hamming_oracle_sql,
     simhash_hamming_pairs,
 )
@@ -501,6 +505,26 @@ def q_multimodal_jpeg(spark, sf_dir):
     form in doc_id; the AC path is exercised in pytest."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     return decode_jpeg_media(with_synth_jpeg(docs, "doc_id"), "jpg", "media_id")
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Within-document repetition quality filter (Gopher-style): per-doc
+    word-bigram totals, distincts, the hottest gram's multiplicity, and
+    an integer-exact duplicate-fraction flag.  Shuffle key is
+    (doc_id, gram) — doc-local, so no global hot keys; partial
+    aggregation absorbs repeats map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: the new batch (doc_id % 10 < 2) anti-
+    joined on xxhash64(text) against the existing corpus — 8-byte keys
+    shuffle, not document bodies (the q_dedup_exact_scale scheme
+    applied to the delta-vs-corpus case every real pipeline runs
+    daily)."""
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_dedup_survivors(docs, "doc_id")
 
 
 _HTML_PRE = (
@@ -1947,6 +1971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_png": q_multimodal_png,
     "q_multimodal_video": q_multimodal_video,
     "q_multimodal_jpeg": q_multimodal_jpeg,
+    "q_repetition_filter": q_repetition_filter,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_cube_events": q_cube_events,
     "q_pivot_revenue": q_pivot_revenue,
     "q_set_ops": q_set_ops,
@@ -2005,6 +2031,8 @@ ORACLES: dict[str, str] = {
     "q_multimodal_png": png_decode_oracle_sql("documents", "doc_id"),
     "q_multimodal_video": y4m_sample_oracle_sql("documents", "doc_id"),
     "q_multimodal_jpeg": jpeg_decode_oracle_sql("documents", "doc_id"),
+    "q_repetition_filter": repetition_oracle_sql("documents", "doc_id"),
+    "q_dedup_incremental": incremental_dedup_oracle_sql("documents", "doc_id"),
     "q_text_extract": _oracle_text_extract(),
     "q_doc_chunks": chunk_documents_oracle_sql("documents", "doc_id"),
     "q_prep_pipeline": _oracle_prep_pipeline(),

@@ -879,6 +879,65 @@ def test_png_decode_roundtrip_filters_and_errors():
         decode_png(whole[: len(whole) - 13])
 
 
+def test_repetition_stats_law_and_partition_independence(spark):
+    """Hand-computable fixture: 'a b a b a b' has bigrams [a b, b a,
+    a b, b a, a b] -> total 5, distinct 2, max 3, and (5-2)*5 > 5*1
+    flags it; a all-distinct doc stays unflagged; NULL text drops."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "w x y z q r"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in repetition_stats(df, "doc_id").collect()
+    }
+    assert set(got) == {1, 2}, "NULL text must produce no row"
+    assert got[1]["total_bigrams"] == 5
+    assert got[1]["distinct_bigrams"] == 2
+    assert got[1]["max_gram_count"] == 3
+    assert got[1]["dup_flag"] == 1
+    assert got[2]["total_bigrams"] == 5
+    assert got[2]["distinct_bigrams"] == 5
+    assert got[2]["dup_flag"] == 0
+    got7 = {
+        r.doc_id: r.asDict()
+        for r in repetition_stats(df.repartition(7), "doc_id").collect()
+    }
+    assert got7 == got, "result must not depend on partitioning"
+
+
+def test_incremental_dedup_survivors(spark):
+    """New batch = id % 10 < 2.  A new doc whose text already exists in
+    the corpus is dropped; a new doc duplicated only WITHIN the new
+    batch survives (both copies — incremental dedup is vs the corpus,
+    not self-dedup); NULL texts never match anything and are excluded."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.dedup import (
+        incremental_dedup_survivors,
+    )
+
+    rows = [
+        (0, "dup with corpus", 15),   # new, text in corpus -> dropped
+        (1, "fresh", 5),              # new, unseen -> survives
+        (10, "batch-local dup", 15),  # new, dup only within batch -> survives
+        (11, "batch-local dup", 15),  # new, dup only within batch -> survives
+        (20, None, 0),                # new, NULL -> excluded
+        (5, "dup with corpus", 15),   # corpus
+        (7, None, 0),                 # corpus NULL must not match new NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, n_chars: long")
+    got = sorted(
+        (r.doc_id, r.n_chars)
+        for r in incremental_dedup_survivors(df, "doc_id").collect()
+    )
+    assert got == [(1, 5), (10, 15), (11, 15)]
+
+
 def test_jpeg_decode_roundtrip_ac_and_errors():
     """Real baseline JPEG: DC-only payloads must decode to exactly flat
     blocks per the module law; the AC entropy path (run-length, ZRL,
