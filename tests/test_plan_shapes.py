@@ -337,3 +337,65 @@ def test_prep_pipeline_plan_composition(spark):
     assert i_ex < i_fl < i_sc, "filter must sit between shuffle and scan"
     assert "partial_min" in plan, "dedup must partial-aggregate map-side"
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime Bloom-filter join pruning — the scale mechanism that
+    complements static pushdown when the selective predicate sits on
+    the DIM side: Catalyst injects a bloom_filter_agg subquery over the
+    filtered dim keys and a might_contain() guard on the FACT side's
+    scan filter, so at 100 TB the big table drops non-matching rows at
+    the scan instead of shuffling them to the join.  Contract: the
+    executed shuffle join carries might_contain + bloom_filter_agg, and
+    the pruned plan returns exactly the rows of a no-bloom control."""
+    big_p, dim_p = str(tmp_path / "big"), str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(big_p)
+    spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("tag")
+    ).write.parquet(dim_p)
+
+    def run_join():
+        big = spark.read.parquet(big_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("tag") == 3)
+        return big.join(dim, "k").select("k", "v", "tag")
+
+    old = {
+        k: spark.conf.get(k)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        ]
+    }
+    try:
+        # force a shuffle join (broadcast would bypass the row-level
+        # runtime filter) — the regime of a dim too big to broadcast —
+        # and drop the application-side size bar (default 10GB: bloom
+        # injection only pays off on genuinely large fact scans, which
+        # a unit-test fixture can't be) so the mechanism fires here
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        pruned = run_join()
+        plan = plan_of(pruned)
+        assert "might_contain" in plan, "fact side must carry the bloom guard"
+        assert "bloom_filter_agg" in plan, "dim side must build the bloom filter"
+        got = sorted(map(tuple, pruned.collect()))
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        control = run_join()
+        assert "might_contain" not in plan_of(control)
+        assert got == sorted(map(tuple, control.collect())), (
+            "bloom pruning must not change the join result"
+        )
+        # dim keys: k in [0, 20000) with k % 97 == 3 -> 207 of them,
+        # every one present in big
+        assert len(got) == 207
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
