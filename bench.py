@@ -199,7 +199,18 @@ def run_flagship_once(cpus: int, n_pages: int, input_path: str | None = None) ->
     # ~500k-row partitions, exactly as a real cluster sizes partitions by
     # bytes; scaling levels then run the SAME work on more/fewer cores
     n_parts = max(cpus, (n_pages + 499_999) // 500_000)
-    m = flagship_pipeline(spark, pages, num_partitions=n_parts)
+    # SPARK_GRAFT_BUDGET_ROWS pins the kernel memory budget instead of
+    # the ~8-runs auto size: a tight budget forces runs >> fan-in, i.e.
+    # the multi-pass deep-merge regime (the I >> M shape a 100 TB sort
+    # actually runs), which is CPU-bound rather than bus-bound on this
+    # box — used for the deep-regime scaling row in BASELINE.md.
+    budget_env = os.environ.get("SPARK_GRAFT_BUDGET_ROWS")
+    m = flagship_pipeline(
+        spark,
+        pages,
+        num_partitions=n_parts,
+        memory_budget_rows=int(budget_env) if budget_env else None,
+    )
     spark.stop()
     return m
 
