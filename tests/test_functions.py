@@ -1140,3 +1140,51 @@ def test_arrow_bigrams_match_catalyst_hof(spark, docs):
     a = sorted(zip(arrow.doc_id, arrow.g))
     h = sorted(zip(hof.doc_id, hof.g))
     assert a == h, f"{len(a)} vs {len(h)} gram rows"
+
+
+def test_fuzzy_join_blocking_complete_vs_bruteforce(spark):
+    """Independent completeness check for the deletion-neighborhood
+    blocking: the oracle SQL mirrors the blocking, so only a true
+    brute-force O(n^2) sweep can prove no ed<=1 pair is missed."""
+    from external_merge_sort_loser_tree_ovc_spark.queries import (
+        FUZZY_MOD,
+        q_fuzzy_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in q_fuzzy_join(spark, sf_dir).collect()
+    }
+
+    import duckdb
+
+    base = duckdb.sql(
+        f"SELECT p_partkey, p_name FROM '{sf_dir}/part.parquet' "
+        f"WHERE p_partkey % {FUZZY_MOD} = 0"
+    ).fetchall()
+    fix = [(k * 2, n) for k, n in base] + [(k * 2 + 1, n + "x") for k, n in base]
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > 1:
+            return 2  # caller only needs <=1 exactness
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for x in range(len(fix)):
+        for y in range(x + 1, len(fix)):
+            ia, sa = fix[x]
+            ib, sb = fix[y]
+            d = lev(sa, sb)
+            if d <= 1:
+                want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert len(want) >= len(base), "every name must pair with its 'x' twin"

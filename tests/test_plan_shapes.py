@@ -399,3 +399,20 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_partitioned_write_query_prunes_partitions(spark):
+    """The q_partitioned_write gate query's read-back leg must resolve
+    its event_type filter at the DIRECTORY level (PartitionFilters) —
+    i.e. the sink layout it wrote is the layout that makes the filter a
+    two-partition read, the 100 TB point of partitioned sinks."""
+    import re
+
+    df = QUERIES["q_partitioned_write"](spark, SF)
+    plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*IN\b", plan, re.I), (
+        "event_type IN (...) must land in PartitionFilters, not a row filter"
+    )
+    # the partition column never appears in the data-file schema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" not in read_schema
