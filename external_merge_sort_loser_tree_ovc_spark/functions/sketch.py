@@ -129,3 +129,97 @@ SELECT CAST(k_used AS BIGINT) AS k_used, CAST(hk AS BIGINT) AS hk,
             END AS BIGINT) AS est_distinct
 FROM kth
 """
+
+
+def grouped_kmv_estimate(
+    df: DataFrame,
+    k: int,
+    domain: int,
+    *,
+    group_col: str = "g",
+    col: str = "h",
+) -> DataFrame:
+    """(group, k_used, est_distinct): per-group KMV distinct-count
+    estimates — the grouped analogue of :func:`kmv_estimate`.
+
+    Scale shape: every partition keeps at most ``k`` distinct minima
+    PER GROUP (dict of bounded numpy arrays in one mapInPandas pass),
+    so the shuffle above the sketch carries at most
+    ``partitions * n_groups * k`` 8-byte rows — never the full distinct
+    (group, value) keyspace.  The per-partition minima are
+    superset-closed under merge (the global k smallest distinct hashes
+    of a group are contained in the union of its per-partition k
+    smallest), so the estimate is bit-identical to the brute-force
+    formulation and gates exactly against a DuckDB oracle."""
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [StructField(group_col, StringType()), StructField(col, LongType())]
+    )
+
+    def local_minima(it):
+        state: dict[str, np.ndarray] = {}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            for g, sub in pdf.groupby(group_col, sort=False):
+                h = sub[col].to_numpy(dtype=np.int64)
+                prev = state.get(g)
+                arr = h if prev is None else np.concatenate([prev, h])
+                arr = np.unique(arr)
+                if len(arr) > k:
+                    arr = arr[:k]
+                state[g] = arr
+        for g, arr in state.items():
+            yield pd.DataFrame({group_col: g, col: arr})
+
+    from pyspark.sql import Window
+
+    part = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(col).cast("bigint").alias(col),
+    ).mapInPandas(local_minima, schema=schema)
+    w = Window.partitionBy(group_col).orderBy(col)
+    kth = (
+        part.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.max(col).cast("bigint").alias("hk"),
+        )
+    )
+    return kth.select(
+        group_col,
+        "k_used",
+        F.expr(
+            f"CAST(CASE WHEN k_used < {k} THEN k_used "
+            f"ELSE ({k - 1} * CAST({domain} AS BIGINT)) DIV GREATEST(hk, 1) "
+            f"END AS BIGINT)"
+        ).alias("est_distinct"),
+    )
+
+
+def grouped_kmv_oracle_sql(
+    source_sql: str, k: int, domain: int, *, group_col: str = "g", col: str = "h"
+) -> str:
+    """DuckDB oracle: identical per-group estimator by brute force."""
+    return f"""
+WITH hs AS (SELECT DISTINCT {group_col}, {col} FROM ({source_sql}) src),
+rk AS (
+  SELECT {group_col}, {col},
+         ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY {col}) AS rk
+  FROM hs
+),
+kth AS (
+  SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX({col}) AS BIGINT) AS hk
+  FROM rk WHERE rk <= {k} GROUP BY {group_col}
+)
+SELECT {group_col}, k_used,
+       CAST(CASE WHEN k_used < {k} THEN k_used
+                 ELSE ({k - 1} * CAST({domain} AS BIGINT)) // GREATEST(hk, 1)
+            END AS BIGINT) AS est_distinct
+FROM kth
+"""

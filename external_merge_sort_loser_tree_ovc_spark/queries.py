@@ -2225,6 +2225,308 @@ SELECT CAST({CELL_RES} AS BIGINT) AS level, cell FROM tagged WHERE sibs < 4
 
 
 # ---------------------------------------------------------------------------
+# bucketed co-located join as a GATE query
+# ---------------------------------------------------------------------------
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join, driver-gated (the write-once/join-many
+    layout): orders and customer are written bucketBy(8) + sortBy on
+    the join key, then sort-merge-joined (explicit ``merge`` hint — no
+    session conf mutation) — because both sides' buckets are co-located
+    on o_custkey/c_custkey, the join needs ZERO Exchange below it (the
+    only shuffle in the whole plan is the final groupBy; static-plan
+    contract in tests/test_plan_shapes.py).  At 100 TB this is the
+    difference between shuffling two full tables per join and never
+    shuffling them again after the initial bucketed write.  The r5
+    pytest (tests/test_bucketing.py) pins mechanism vs a shuffling
+    control; this query gives the mechanism a hard driver row."""
+    base = _roundtrip_dir("bucketed")
+    for name, tbl, key in (
+        ("emsort_bkt_orders", "orders", "o_custkey"),
+        ("emsort_bkt_customer", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            _read(spark, sf_dir, tbl)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("emsort_bkt_orders")
+    c = spark.table("emsort_bkt_customer")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr(_cents("o_totalprice"))).cast("bigint").alias("total_c"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_cents('o_totalprice')}) AS BIGINT) AS total_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# single-pass column profile (data-quality report)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_profile(spark, sf_dir):
+    """Single-pass column profile of ``documents`` — per column: row
+    count, null count, exact distinct count, min/max (computed on the
+    NATIVE type, then cast to string for a uniform report schema).
+    The profile every ingestion pipeline runs before accepting a drop.
+    Scale shape: ONE scan computes every statistic (all aggregates ride
+    one aggregation; the 5-row report is an unpivot of a single
+    aggregate row via ``stack``) — never five passes over 100 TB."""
+    d = _read(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+def _oracle_profile() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_s FROM documents"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered multi-step conversion)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark, sf_dir):
+    """Three-step ORDERED funnel over the event stream: users who
+    viewed, then clicked strictly after their first view, then
+    purchased strictly after that first qualifying click.  Step k+1
+    joins the event stream to step k's per-user timestamps (equi-join
+    on user_id) and takes the min qualifying timestamp — each step is
+    one filtered aggregate + one equi-join, never a self-cross of the
+    stream.  The final counts are three scalar 1x1 joins.  The
+    min-per-user timestamps make every step deterministic (no
+    tie-order dependence: ties collapse under MIN, and the strict->
+    comparison is shared arithmetic in both engines)."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_funnel"))
+    return n1.crossJoin(n2).crossJoin(n3)  # 1x1x1 scalar joins
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_full_funnel
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (link-graph analysis, fixed-iteration integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# deterministic host-graph analogue: the driver tables carry no link
+# data, so 256 "hosts" get edges derived from part keys with the same
+# int64-safe mix both engines share (reduce mod P before the Knuth
+# multiply).  Self-loops and multi-sources are allowed; UNION dedups.
+PR_SRC_SQL = "(p_partkey % 256)"
+PR_DST1_SQL = "((((p_partkey % 1000000007) * 2654435761) % 1000000007) % 256)"
+PR_DST2_SQL = "(((p_partkey * 48271) % 1000000007) % 256)"
+PR_SCALE = 1_000_000  # rank fixed-point scale (r0 = SCALE per node)
+PR_BASE = 150_000  # (1 - d) * SCALE with damping d = 0.85
+PR_ITERS = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic host graph — ``PR_ITERS`` fixed
+    iterations of r' = (1-d)*S + d * sum(r_in DIV outdeg), all in
+    int64 fixed-point (every DIV is integer division shared by both
+    engines, so the APPROXIMATE iterative computation gates
+    bit-exact; float PageRank would drift on summation order).
+    Scale shape: the classic distributed formulation — each iteration
+    is one equi-join of the edge list to the rank vector on src plus
+    one groupBy(dst) aggregation; edges and out-degrees are computed
+    once and reused; at web scale (edges ~ links) the join shuffles on
+    near-uniform host keys and partial aggregation collapses
+    contributions map-side.  Dangling nodes keep the base rank and
+    contribute nothing (simplified PageRank, no dangling-mass
+    redistribution — same rule both engines)."""
+    p = _read(spark, sf_dir, "part")
+    e1 = p.select(
+        F.expr(PR_SRC_SQL).cast("bigint").alias("src"),
+        F.expr(PR_DST1_SQL).cast("bigint").alias("dst"),
+    )
+    e2 = p.select(
+        F.expr(PR_SRC_SQL).cast("bigint").alias("src"),
+        F.expr(PR_DST2_SQL).cast("bigint").alias("dst"),
+    )
+    edges = e1.unionAll(e2).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_deg = edges.join(deg, "src")
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("bigint"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst"), F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE) + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return ranks
+
+
+def _oracle_pagerank() -> str:
+    head = f"""
+WITH edges AS (
+  SELECT {PR_SRC_SQL} AS src, {PR_DST1_SQL} AS dst FROM part
+  UNION
+  SELECT {PR_SRC_SQL} AS src, {PR_DST2_SQL} AS dst FROM part
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f""",
+r{i} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + 85 * COALESCE(SUM(t.c), 0) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, p.r // d.deg AS c
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} p ON p.node = e.src
+  ) t ON t.dst = n.node
+  GROUP BY n.node
+)"""
+        )
+    return head + "".join(steps) + f"\nSELECT node, r FROM r{PR_ITERS}"
+
+
+# ---------------------------------------------------------------------------
+# per-group KMV distinct sketch (distinct users per event type)
+# ---------------------------------------------------------------------------
+
+GKMV_K = 64
+GKMV_HASH_SQL = "(((user_id % 1000000007) * 2654435761) % 1000000007)"
+GKMV_DOMAIN = 1_000_000_007
+
+
+def q_group_distinct_sketch(spark, sf_dir):
+    """Per-group KMV distinct-count estimates: distinct users per event
+    type with bounded state — each partition keeps at most K distinct
+    hash minima PER GROUP, so the shuffle carries at most
+    partitions * groups * K 8-byte rows (never the full distinct
+    (group, user) keyspace — the grouped analogue of the
+    q_sketch_distinct estimator-alone plan).  Shared integer hash and
+    estimator arithmetic: the approximate estimate gates bit-exact
+    (see functions/sketch.py::grouped_kmv_estimate)."""
+    from .functions.sketch import grouped_kmv_estimate
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.expr(GKMV_HASH_SQL).cast("bigint").alias("h"),
+    )
+    return grouped_kmv_estimate(
+        ev, GKMV_K, GKMV_DOMAIN, group_col="event_type", col="h"
+    )
+
+
+def _oracle_group_distinct_sketch() -> str:
+    from .functions.sketch import grouped_kmv_oracle_sql
+
+    return grouped_kmv_oracle_sql(
+        f"SELECT event_type, {GKMV_HASH_SQL} AS h FROM events",
+        GKMV_K,
+        GKMV_DOMAIN,
+        group_col="event_type",
+        col="h",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2277,6 +2579,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tfidf_topterms": q_tfidf_topterms,
     "q_fuzzy_join": q_fuzzy_join,
     "q_cell_compact": q_cell_compact,
+    "q_bucketed_join": q_bucketed_join,
+    "q_profile": q_profile,
+    "q_funnel": q_funnel,
+    "q_pagerank": q_pagerank,
+    "q_group_distinct_sketch": q_group_distinct_sketch,
     # spatial core
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
@@ -2284,11 +2591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_exact_scale": q_dedup_exact_scale,
     "q_dedup_minhash": q_dedup_minhash,
-    "q_dedup_simhash": q_dedup_simhash,
-    "q_dedup_ngram": q_dedup_ngram,
     "q_text_features": q_text_features,
-    "q_ann_topk": q_ann_topk,
-    "q_ann_cosine": q_ann_cosine,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
@@ -2335,6 +2638,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_hourly": q_events_hourly,
     "q_percentiles": q_percentiles,
     "q_grouping_sets": q_grouping_sets,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_cosine": q_ann_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -2607,4 +2914,9 @@ FROM documents
     "q_tfidf_topterms": ORACLE_TFIDF,
     "q_fuzzy_join": ORACLE_FUZZY_JOIN,
     "q_cell_compact": _oracle_cell_compact(),
+    "q_bucketed_join": ORACLE_BUCKETED_JOIN,
+    "q_profile": _oracle_profile(),
+    "q_funnel": ORACLE_FUNNEL,
+    "q_pagerank": _oracle_pagerank(),
+    "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
 }

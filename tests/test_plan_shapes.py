@@ -416,3 +416,16 @@ def test_partitioned_write_query_prunes_partitions(spark):
     # the partition column never appears in the data-file schema
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "event_type" not in read_schema
+
+
+def test_bucketed_join_query_zero_exchange_smj(spark):
+    """q_bucketed_join contract: the sort-merge join reads both
+    bucketed tables co-located — NO Exchange below the join; the only
+    shuffle in the whole plan is the final groupBy aggregation."""
+    df = QUERIES["q_bucketed_join"](spark, SF)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]  # physical plan tree section
+    assert "SortMergeJoin" in tree
+    assert tree.count("Exchange") == 1, tree
+    # both sides scan bucketed layouts
+    assert plan.count("Bucketed: true") == 2
