@@ -2533,17 +2533,20 @@ def _oracle_group_distinct_sketch() -> str:
 # Registry order is a DRIVER CONTRACT: the round driver evaluates only
 # the FIRST 50 entries of this dict against the DuckDB oracle (verified
 # against CORRECTNESS_r05.json — rows were exactly positions 0-49).
-# Round-6 reorder (r5 verdict ask #1): the 14 round-5 queries that sat
-# at positions 50-63 (and therefore never received a driver row) now
-# occupy the window; 17 long-stable queries that have been driver-green
-# since rounds 1-3 (multimodal sextet, cell trio, raster pair, four
-# SQL-surface queries) rotate to the tail — they keep full repo-side
-# gate coverage (scripts/run_gate.py + sf1) every round.  q_ann_lsh /
-# q_ann_ivf also move to the tail: they are approximate-by-design with
-# deliberately NO oracle (would only ever produce `no_oracle` driver
-# rows), and their driver-checkable recall derivatives
-# (q_ann_lsh_recall / q_ann_ivf_recall, r5 verdict ask #2) sit inside
-# the window instead — so every window row can be green.
+# Round-6 policy (r5 verdict ask #1): every query that has NEVER had a
+# driver-green CORRECTNESS row sits inside the 50-entry window;
+# long-stable queries driver-green since earlier rounds rotate to the
+# tail, where they keep full repo-side gate coverage
+# (tests/test_queries_gate.py at sf0.001/sf0.01 + scripts/sf1_gate.py)
+# every round.  q_ann_lsh / q_ann_ivf live in the tail permanently:
+# approximate-by-design with deliberately NO oracle (a window slot
+# would only ever produce a `no_oracle` row) — their driver-checkable
+# recall derivatives (q_ann_lsh_recall / q_ann_ivf_recall) sit inside
+# the window instead, so every window row can be green.  This session's
+# window holds the 19 round-6 batch-1 queries, the 3 late batch-2
+# additions (jpeg / repetition / incremental), and the 12 batch-2/3
+# additions (format roundtrips, tfidf, fuzzy join, cell compaction,
+# bucketed join, profile, funnel, pagerank, grouped KMV).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sort/merge core (reference operators)
     "q_sort_lineitem": q_sort_lineitem,
