@@ -2527,6 +2527,235 @@ def _oracle_group_distinct_sketch() -> str:
 
 
 # ---------------------------------------------------------------------------
+# composed quality-rule filter (Gopher/C4-style, with reason codes)
+# ---------------------------------------------------------------------------
+
+# Rule thresholds, tuned so the synthetic corpus splits into a real
+# keep/reject mix (word counts 10-99, vocab words 1-8 chars).  All
+# comparisons are integer cross-multiplications — no ratio floats, so
+# the verdict is bit-identical across engines at any scale.
+QR_MIN_WORDS = 20
+QR_MAX_WORDS = 90
+QR_STOPWORDS = ("the", "a", "data", "join")
+
+
+def q_quality_rules(spark, sf_dir):
+    """Composed document-quality filter in the Gopher/C4 style: word
+    count bounds, mean-word-length bounds, distinct-word (repetition)
+    ratio, and stopword presence, evaluated IN ORDER with the first
+    failing rule as the reason code (``verdict``) — the reject-reason
+    histogram is how corpus curators debug a filter chain.  All rules
+    are integer cross-products of three per-doc aggregates computed in
+    ONE projection over the scan (no shuffle at all until the caller
+    aggregates verdicts), so at 100 TB this is a pure map stage that
+    rides whole-stage codegen; higher-order array functions stay
+    JVM-side (no Python).  Reference analogue: scan-side predicate
+    evaluation (Filter over Scan, ``Filter.cpp``) — here the predicate
+    is a 4-rule decision list over derived features."""
+    stop_arr = ", ".join(f"'{w}'" for w in QR_STOPWORDS)
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = d.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+            "(acc, w) -> acc + length(w))"
+        ).alias("sum_wlen"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+        F.expr(
+            f"CAST(size(array_intersect(split(text, ' '), "
+            f"array({stop_arr}))) AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "sum_wlen",
+        "n_distinct",
+        F.expr(
+            f"""CASE
+              WHEN n_words < {QR_MIN_WORDS} THEN 'too_short'
+              WHEN n_words > {QR_MAX_WORDS} THEN 'too_long'
+              WHEN 10 * sum_wlen < 42 * n_words THEN 'short_words'
+              WHEN 10 * sum_wlen > 47 * n_words THEN 'long_words'
+              WHEN 5 * n_distinct < 2 * n_words THEN 'repetitive'
+              WHEN n_stop < 2 THEN 'no_stopwords'
+              ELSE 'keep' END"""
+        ).alias("verdict"),
+    )
+
+
+def _oracle_quality_rules() -> str:
+    stop_arr = ", ".join(f"'{w}'" for w in QR_STOPWORDS)
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> length(w))) AS BIGINT) AS sum_wlen,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_intersect(string_split(text, ' '),
+                                 [{stop_arr}])) AS BIGINT) AS n_stop
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, sum_wlen, n_distinct,
+       CASE
+         WHEN n_words < {QR_MIN_WORDS} THEN 'too_short'
+         WHEN n_words > {QR_MAX_WORDS} THEN 'too_long'
+         WHEN 10 * sum_wlen < 42 * n_words THEN 'short_words'
+         WHEN 10 * sum_wlen > 47 * n_words THEN 'long_words'
+         WHEN 5 * n_distinct < 2 * n_words THEN 'repetitive'
+         WHEN n_stop < 2 THEN 'no_stopwords'
+         ELSE 'keep' END AS verdict
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill (hourly regularization + forward fill)
+# ---------------------------------------------------------------------------
+
+# Each user's series is regularized over at most this many hours past
+# their first event — bounds the generated grid to O(users * cap)
+# regardless of the corpus time span (an unbounded per-user
+# min..max span would make the grid quadratic-ish in wall time).
+GAPFILL_CAP_H = 168
+
+
+def q_gap_fill(spark, sf_dir):
+    """Hourly time-series regularization with forward fill: each
+    user's event stream becomes a dense hourly grid over the first
+    ``GAPFILL_CAP_H`` hours of their activity; hours with no events
+    get ``n_events = 0`` and carry the last non-null hourly revenue
+    forward (``fill_c``) — the resample→ffill step feeding any
+    downstream per-entity model.  Scale shape: one groupBy to the
+    hourly grain, one tiny per-user span aggregate whose
+    ``sequence()`` explode fans out to at most users x 169 rows (the
+    cap keeps the grid linear in users), one equi-join back on
+    (user, hour), and one window for the fill — every stage shuffles
+    on user_id, so AQE coalesces and the join co-partitions with the
+    window.  The fill is LAST_VALUE IGNORE NULLS over a running
+    frame: deterministic (one value per (user, hour), no tie
+    order)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.expr(_cents("value")).alias("v_c"),
+    )
+    hourly = ev.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_c").cast("bigint").alias("s_c"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(h0, least(h1, h0 + INTERVAL {GAPFILL_CAP_H} HOURS), "
+                    "INTERVAL 1 HOUR)"
+                )
+            ).alias("hr"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("s_c").alias("sum_c"),
+        F.last("s_c", ignorenulls=True).over(w).alias("fill_c"),
+    )
+
+
+def _oracle_gap_fill() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_cents('value')}) AS BIGINT) AS s_c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(hr) AS h0,
+         LEAST(MAX(hr), MIN(hr) + INTERVAL {GAPFILL_CAP_H} HOUR) AS h1
+  FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM span
+)
+SELECT g.user_id, g.hr,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       h.s_c AS sum_c,
+       LAST_VALUE(h.s_c IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_c
+FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified proportional sampling (per-language allocation)
+# ---------------------------------------------------------------------------
+
+# 10% proportional allocation per stratum, floored — the per-language
+# subsample a multilingual corpus release draws so small languages are
+# not crowded out by uniform sampling.
+STRAT_NUM, STRAT_DEN = 10, 100
+STRAT_KEY_SQL = "(((doc_id % 1000000007) * 2654435761) % 1000000007)"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified proportional sample: within each language stratum,
+    rank docs by a shared injective integer hash (id reduced mod a
+    prime before the Knuth multiply — provably int64-safe, see the
+    split/sample predicates) and keep the first
+    floor(n_lang * {STRAT_NUM}/{STRAT_DEN}).  Using count(*) OVER the
+    same partition instead of a separate per-stratum totals join keeps
+    it to ONE shuffle on lang (the window and the implied groupBy
+    share the partitioning).  Deterministic at any partitioning: the
+    hash order is data-derived, not layout-derived (df.sample(seed)
+    is NOT partition-stable; this is).  At 100 TB the stratum key is
+    low-cardinality/skewed — the same AQE + salting story as the
+    domain-quota window applies (documented there)."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.expr(STRAT_KEY_SQL), "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_lang"),
+    )
+    return ranked.filter(
+        F.expr(f"rn <= (n_lang * {STRAT_NUM}) DIV {STRAT_DEN}")
+    ).select("doc_id", "lang", "rn", "n_lang")
+
+
+def _oracle_stratified_sample() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY {STRAT_KEY_SQL}, doc_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, rn, n_lang
+FROM ranked WHERE rn <= (n_lang * {STRAT_NUM}) // {STRAT_DEN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2605,13 +2834,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_jpeg": q_multimodal_jpeg,
     "q_repetition_filter": q_repetition_filter,
     "q_dedup_incremental": q_dedup_incremental,
-    # relational built-ins
-    "q_tpch_q1": q_tpch_q1,
-    "q_revenue_by_nation": q_revenue_by_nation,
-    "q_events_sessions": q_events_sessions,
+    # round-6 session-3 additions (never driver-evaluated): swapped
+    # into the window in place of q_tpch_q1 / q_revenue_by_nation /
+    # q_events_sessions, driver-green since rounds 1-2
+    "q_quality_rules": q_quality_rules,
+    "q_gap_fill": q_gap_fill,
+    "q_stratified_sample": q_stratified_sample,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
+    "q_tpch_q1": q_tpch_q1,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_events_sessions": q_events_sessions,
     "q_cell_assign": q_cell_assign,
     "q_cell_counts": q_cell_counts,
     "q_cell_rollup": q_cell_rollup,
@@ -2919,6 +3153,9 @@ FROM documents
     "q_cell_compact": _oracle_cell_compact(),
     "q_bucketed_join": ORACLE_BUCKETED_JOIN,
     "q_profile": _oracle_profile(),
+    "q_quality_rules": _oracle_quality_rules(),
+    "q_gap_fill": _oracle_gap_fill(),
+    "q_stratified_sample": _oracle_stratified_sample(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
