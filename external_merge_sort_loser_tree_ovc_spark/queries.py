@@ -2527,6 +2527,184 @@ def _oracle_group_distinct_sketch() -> str:
 
 
 # ---------------------------------------------------------------------------
+# bbox intersection join (grid-blocked, reference-point dedup)
+# ---------------------------------------------------------------------------
+
+# Deterministic rectangle sets in the integer 3600x1800 grid domain:
+# A-boxes from orders (big side), B-boxes from a 1-in-20 filter of
+# part ("regions of interest", small side).  Max extent 33 <= G, so
+# every box covers at most 2x2 grid blocks.
+BBOX_G = 64
+BBOX_A_SQL = (
+    "(o_orderkey * 48271) % 3600",   # ax0
+    "(o_orderkey * 16807) % 1800",   # ay0
+    "1 + (o_orderkey % 32)",         # aw
+    "1 + ((o_orderkey * 7) % 32)",   # ah
+)
+BBOX_B_SQL = (
+    "(p_partkey * 69621) % 3600",
+    "(p_partkey * 40692) % 1800",
+    "1 + (p_partkey % 32)",
+    "1 + ((p_partkey * 11) % 32)",
+)
+BBOX_B_PRED = "p_partkey % 20 = 0"
+
+
+def q_bbox_join(spark, sf_dir):
+    """Rectangle-intersection spatial join via partition-based spatial
+    merge (PBSM): each box is replicated to the <=2x2 grid blocks it
+    covers (a bounded ``sequence`` explode, pure built-ins), blocks
+    equi-join on (cx, cy), the exact closed-box overlap test refines,
+    and the REFERENCE-POINT rule — report a pair only in the block
+    containing the intersection's min corner — dedups pairs that share
+    several blocks WITHOUT a distinct (no extra shuffle: the dedup is
+    a codegen'd filter).  Scale shape: candidate generation is an
+    equi-join on block keys, so the 100 TB cost is O(n) replication
+    (<=4x) + one hash shuffle, never an all-pairs NLJ; here the
+    filtered B side is small enough that AQE broadcasts it and the big
+    side does not shuffle at all.  Block size G=64 bounds per-box
+    replication because max extent (33) <= G."""
+    ax0, ay0, aw, ah = BBOX_A_SQL
+    bx0, by0, bw, bh = BBOX_B_SQL
+    a = _read(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS aid",
+        f"CAST({ax0} AS BIGINT) AS ax0",
+        f"CAST({ay0} AS BIGINT) AS ay0",
+        f"CAST({ax0} + {aw} AS BIGINT) AS ax1",
+        f"CAST({ay0} + {ah} AS BIGINT) AS ay1",
+    )
+    b = (
+        _read(spark, sf_dir, "part")
+        .filter(F.expr(BBOX_B_PRED))
+        .selectExpr(
+            "p_partkey AS bid",
+            f"CAST({bx0} AS BIGINT) AS bx0",
+            f"CAST({by0} AS BIGINT) AS by0",
+            f"CAST({bx0} + {bw} AS BIGINT) AS bx1",
+            f"CAST({by0} + {bh} AS BIGINT) AS by1",
+        )
+    )
+
+    def blocks(df, x0, x1, y0, y1):
+        return df.select(
+            "*",
+            F.explode(
+                F.expr(f"sequence({x0} DIV {BBOX_G}, {x1} DIV {BBOX_G})")
+            ).alias("cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.expr(f"sequence({y0} DIV {BBOX_G}, {y1} DIV {BBOX_G})")
+            ).alias("cy"),
+        )
+
+    j = blocks(a, "ax0", "ax1", "ay0", "ay1").join(
+        blocks(b, "bx0", "bx1", "by0", "by1"), ["cx", "cy"]
+    )
+    j = j.filter(
+        F.expr(
+            "ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1 "
+            f"AND greatest(ax0, bx0) DIV {BBOX_G} = cx "
+            f"AND greatest(ay0, by0) DIV {BBOX_G} = cy"
+        )
+    )
+    return j.selectExpr(
+        "aid",
+        "bid",
+        "CAST(greatest(ax0, bx0) AS BIGINT) AS ix0",
+        "CAST(greatest(ay0, by0) AS BIGINT) AS iy0",
+        "CAST(least(ax1, bx1) AS BIGINT) AS ix1",
+        "CAST(least(ay1, by1) AS BIGINT) AS iy1",
+    )
+
+
+def _oracle_bbox_join() -> str:
+    ax0, ay0, aw, ah = BBOX_A_SQL
+    bx0, by0, bw, bh = BBOX_B_SQL
+    return f"""
+WITH a AS (
+  SELECT o_orderkey AS aid,
+         CAST({ax0} AS BIGINT) AS ax0, CAST({ay0} AS BIGINT) AS ay0,
+         CAST({ax0} + {aw} AS BIGINT) AS ax1,
+         CAST({ay0} + {ah} AS BIGINT) AS ay1
+  FROM orders),
+b AS (
+  SELECT p_partkey AS bid,
+         CAST({bx0} AS BIGINT) AS bx0, CAST({by0} AS BIGINT) AS by0,
+         CAST({bx0} + {bw} AS BIGINT) AS bx1,
+         CAST({by0} + {bh} AS BIGINT) AS by1
+  FROM part WHERE {BBOX_B_PRED})
+SELECT aid, bid,
+       CAST(GREATEST(ax0, bx0) AS BIGINT) AS ix0,
+       CAST(GREATEST(ay0, by0) AS BIGINT) AS iy0,
+       CAST(LEAST(ax1, bx1) AS BIGINT) AS ix1,
+       CAST(LEAST(ay1, by1) AS BIGINT) AS iy1
+FROM a JOIN b
+  ON ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental cell-index upsert (partial-aggregate merge)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_upsert(spark, sf_dir):
+    """Incremental spatial-index maintenance: yesterday's per-cell doc
+    counts (the 80% base batch) are upserted with a 20% delta batch by
+    MERGING PARTIAL AGGREGATES — only the delta is re-aggregated and a
+    full-outer join on cell combines it with the stored base index;
+    untouched cells pass through, touched cells add counts, new cells
+    appear, each tagged with its upsert ``status``.  The oracle is the
+    FULL recompute over all docs, so a green row proves the
+    incremental-maintenance invariant merge(base, delta) == recompute.
+    At 100 TB the delta is days smaller than the corpus: this plan
+    aggregates only the delta and joins per-cell summaries (both sides
+    one row per touched cell), never rescanning the base corpus —
+    the same partial-aggregate shape the incremental dedup op uses."""
+    geo = with_grid(_docs_geo(spark, sf_dir), "lat", "lon", CELL_RES)
+    base = (
+        geo.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    )
+    delta = (
+        geo.filter(F.col("doc_id") % 10 >= 8)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_delta"))
+    )
+    return (
+        base.join(delta, "cell", "full_outer")
+        .select(
+            "cell",
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("n_delta"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs"),
+            F.expr(
+                "CASE WHEN n_delta IS NULL THEN 'unchanged' "
+                "WHEN n_base IS NULL THEN 'new' ELSE 'updated' END"
+            ).alias("status"),
+        )
+    )
+
+
+def _oracle_cell_upsert() -> str:
+    xg, yg = cells.sql_grid_expr("lat", "lon", CELL_RES)
+    return f"""
+WITH {_pts_cte()},
+g AS (SELECT doc_id, ({yg}) * {1 << CELL_RES} + ({xg}) AS cell FROM pts)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CASE WHEN COUNT(CASE WHEN doc_id % 10 >= 8 THEN 1 END) = 0 THEN 'unchanged'
+            WHEN COUNT(CASE WHEN doc_id % 10 < 8 THEN 1 END) = 0 THEN 'new'
+            ELSE 'updated' END AS status
+FROM g GROUP BY cell
+"""
+
+
+# ---------------------------------------------------------------------------
 # composed quality-rule filter (Gopher/C4-style, with reason codes)
 # ---------------------------------------------------------------------------
 
@@ -2820,14 +2998,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
     # training-data pipeline
-    "q_dedup_exact": q_dedup_exact,
-    "q_dedup_exact_scale": q_dedup_exact_scale,
     "q_dedup_minhash": q_dedup_minhash,
     "q_text_features": q_text_features,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
-    "q_prep_pipeline": q_prep_pipeline,
     # late round-6 additions (never driver-evaluated before): swapped
     # into the window in place of q_doc_chunks / q_url_canonical /
     # q_url_host_stats, which have been driver-green since round 4
@@ -2840,12 +3015,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_rules": q_quality_rules,
     "q_gap_fill": q_gap_fill,
     "q_stratified_sample": q_stratified_sample,
+    "q_bbox_join": q_bbox_join,
+    "q_cell_upsert": q_cell_upsert,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
     "q_tpch_q1": q_tpch_q1,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_sessions": q_events_sessions,
+    "q_prep_pipeline": q_prep_pipeline,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_exact_scale": q_dedup_exact_scale,
     "q_cell_assign": q_cell_assign,
     "q_cell_counts": q_cell_counts,
     "q_cell_rollup": q_cell_rollup,
@@ -3156,6 +3336,8 @@ FROM documents
     "q_quality_rules": _oracle_quality_rules(),
     "q_gap_fill": _oracle_gap_fill(),
     "q_stratified_sample": _oracle_stratified_sample(),
+    "q_bbox_join": _oracle_bbox_join(),
+    "q_cell_upsert": _oracle_cell_upsert(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
