@@ -2934,6 +2934,186 @@ FROM ranked WHERE rn <= (n_lang * {STRAT_NUM}) // {STRAT_DEN}
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations (bigram association mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_C = 5  # minimum bigram count to report
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus collocation mining: adjacent-word bigram counts joined
+    to unigram counts, with the PMI-style lift
+    ``p(ab) / (p(a)p(b))`` = ``c_ab/NB / (c_a/NT * c_b/NT)`` as a
+    single deterministic double expression (one left-to-right
+    multiply/divide chain of exact int64 counts — identical IEEE ops
+    in both engines, so the float gates bit-exact; no float SUMS
+    anywhere).  Scale shape: one explode + partial-agg per n-gram
+    order (the shuffle carries one row per DISTINCT gram — vocab-
+    bounded, tiny — not per token), the unigram side joins twice via
+    broadcast, and the two corpus totals ride a 1x1 scalar join.  At
+    100 TB this is the textbook map-side-combine word-count shape."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(F.expr("split(text, ' ')").alias("ws"))
+    toks = words.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    bigr = words.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, size(ws) - 1), "
+                "slice(ws, 2, size(ws) - 1), (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bg")
+    )
+    bgc = (
+        bigr.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_C)
+    )
+    tot = (
+        toks.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+        .crossJoin(bigr.agg(F.count(F.lit(1)).cast("bigint").alias("nb")))
+    )  # 1x1 scalar join
+    uni_a = uni.select(F.col("w").alias("wa"), F.col("c_w").alias("c_a"))
+    uni_b = uni.select(F.col("w").alias("wb"), F.col("c_w").alias("c_b"))
+    res = (
+        bgc.withColumn("wa", F.expr("split(bg, ' ')[0]"))
+        .withColumn("wb", F.expr("split(bg, ' ')[1]"))
+        .join(F.broadcast(uni_a), "wa")
+        .join(F.broadcast(uni_b), "wb")
+        .crossJoin(tot)
+    )
+    return res.selectExpr(
+        "bg",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "CAST(c_ab AS DOUBLE) * nt / c_a * nt / c_b / nb AS lift",
+    )
+
+
+def _oracle_pmi_collocations() -> str:
+    return f"""
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+           WHERE text IS NOT NULL),
+toks AS (SELECT unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY tok),
+bigr AS (SELECT unnest(list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w),
+bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bigr GROUP BY bg
+        HAVING COUNT(*) >= {PMI_MIN_C}),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS nt,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bigr) AS nb)
+SELECT bg, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+       CAST(c_ab AS DOUBLE) * nt / a.c_w * nt / b.c_w / nb AS lift
+FROM bgc, tot
+JOIN uni a ON a.tok = string_split(bg, ' ')[1]
+JOIN uni b ON b.tok = string_split(bg, ' ')[2]
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingle containment (asymmetric near-dup measure)
+# ---------------------------------------------------------------------------
+
+# 5-word shingles: the shingle space (vocab^5) stays sparse at any
+# corpus scale, so shared shingles isolate genuine near-dup pairs —
+# shorter grams saturate a small vocabulary and degenerate to
+# everything-matches (measured: trigrams hit avg df ~180 at sf1).
+CONT_DF_MIN, CONT_DF_CAP = 2, 50
+CONT_MIN_SHARED = 2
+
+
+def q_shingle_containment(spark, sf_dir):
+    """Asymmetric containment score between documents: for pairs
+    sharing >= {CONT_MIN_SHARED} distinct 5-word shingles,
+    ``cont100_a = 100 * |S_A intersect S_B| DIV |S_A|`` (and _b) — the
+    directed measure that catches quote-inclusion / subset dups that
+    symmetric Jaccard underweights.  Pairs come from an inverted
+    shingle index: explode distinct shingles, drop grams with
+    document frequency outside [{CONT_DF_MIN}, {CONT_DF_CAP}] (df < 2
+    cannot pair; df > cap is the hot-gram guard that bounds the
+    per-gram pair fan-out at df^2), self-join on the gram, count per
+    ordered pair.  All-integer outputs — bit-exact at any scale.
+    100 TB shape: the index join shuffles on gram keys (sparse,
+    near-unique by construction), never all-pairs; identical to the
+    verified n-gram Jaccard machinery but with a directed score."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(CASE WHEN size(split(text, ' ')) < 5 "
+                "THEN CAST(array() AS ARRAY<STRING>) ELSE "
+                "transform(sequence(1, size(split(text, ' ')) - 4), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) END)"
+            )
+        ).alias("g"),
+    )
+    n_sh = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    ok = sh.join(
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(CONT_DF_MIN, CONT_DF_CAP))
+        .select("g"),
+        "g",
+        "left_semi",
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONT_MIN_SHARED)
+    )
+    na = n_sh.select(F.col("doc_id").alias("a_id"), F.col("n_g").alias("n_a"))
+    nb = n_sh.select(F.col("doc_id").alias("b_id"), F.col("n_g").alias("n_b"))
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .selectExpr(
+            "a_id",
+            "b_id",
+            "n_shared",
+            "n_a",
+            "n_b",
+            "(100 * n_shared) DIV n_a AS cont100_a",
+            "(100 * n_shared) DIV n_b AS cont100_b",
+        )
+    )
+
+
+def _oracle_shingle_containment() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE text IS NOT NULL),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4])) AS g
+       FROM w WHERE len(ws) >= 5),
+n_sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_g FROM sh GROUP BY doc_id),
+ok AS (SELECT s.doc_id, s.g FROM sh s
+       JOIN (SELECT g FROM sh GROUP BY g
+             HAVING COUNT(*) BETWEEN {CONT_DF_MIN} AND {CONT_DF_CAP}) d
+       USING (g)),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM ok a JOIN ok b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {CONT_MIN_SHARED})
+SELECT a_id, b_id, n_shared, na.n_g AS n_a, nb.n_g AS n_b,
+       (100 * n_shared) // na.n_g AS cont100_a,
+       (100 * n_shared) // nb.n_g AS cont100_b
+FROM pairs
+JOIN n_sh na ON na.doc_id = a_id
+JOIN n_sh nb ON nb.doc_id = b_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2998,8 +3178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
     # training-data pipeline
-    "q_dedup_minhash": q_dedup_minhash,
-    "q_text_features": q_text_features,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
@@ -3017,6 +3195,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stratified_sample": q_stratified_sample,
     "q_bbox_join": q_bbox_join,
     "q_cell_upsert": q_cell_upsert,
+    "q_pmi_collocations": q_pmi_collocations,
+    "q_shingle_containment": q_shingle_containment,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
@@ -3024,6 +3204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_sessions": q_events_sessions,
     "q_prep_pipeline": q_prep_pipeline,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_text_features": q_text_features,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_exact_scale": q_dedup_exact_scale,
     "q_cell_assign": q_cell_assign,
@@ -3338,6 +3520,8 @@ FROM documents
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_bbox_join": _oracle_bbox_join(),
     "q_cell_upsert": _oracle_cell_upsert(),
+    "q_pmi_collocations": _oracle_pmi_collocations(),
+    "q_shingle_containment": _oracle_shingle_containment(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
