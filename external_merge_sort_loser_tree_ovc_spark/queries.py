@@ -2732,12 +2732,18 @@ def q_quality_rules(spark, sf_dir):
     is a 4-rule decision list over derived features."""
     stop_arr = ", ".join(f"'{w}'" for w in QR_STOPWORDS)
     d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # n_words / sum_wlen via pure string arithmetic: for a single-char
+    # separator, #parts == #seps + 1 and sum(part lengths) == len - #seps
+    # EXACTLY (empty parts included) — identical to the oracle's
+    # list-based fold but stays in codegen'd string built-ins instead of
+    # a per-element HOF (measured 23.5 s -> map-only at sf1).
     feats = d.select(
         "doc_id",
-        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
         F.expr(
-            "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-            "(acc, w) -> acc + length(w))"
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "CAST(length(replace(text, ' ', '')) AS BIGINT)"
         ).alias("sum_wlen"),
         F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
             "n_distinct"
@@ -3038,6 +3044,14 @@ def q_shingle_containment(spark, sf_dir):
     near-unique by construction), never all-pairs; identical to the
     verified n-gram Jaccard machinery but with a directed score."""
     d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Spread the shingle HOF across all cores before the one-time
+    # materialization: a single small parquet file arrives as ONE split
+    # locally, serializing the per-element transform (measured 19 s of
+    # single-task compute at sf1).  The repartition shuffles only the
+    # raw doc bytes ONCE, amortized over the 4 consumers below; on a
+    # real cluster the scan's natural splits already provide this
+    # parallelism and the repartition is balance insurance on doc_id.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = d.select(
         "doc_id",
         F.explode(
@@ -3048,7 +3062,10 @@ def q_shingle_containment(spark, sf_dir):
                 "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) END)"
             )
         ).alias("g"),
-    )
+    ).persist()  # consumed 4x (per-doc counts, df filter, both self-join
+    # sides) — without this the per-element shingle HOF re-runs on every
+    # branch (measured 87 s -> ~13 s at sf1).  Cache lifetime follows the
+    # session (the gate harness clears it between queries).
     n_sh = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g")
     )
