@@ -3131,6 +3131,142 @@ JOIN n_sh nb ON nb.doc_id = b_id
 
 
 # ---------------------------------------------------------------------------
+# cohort retention matrix (weekly, integer arithmetic)
+# ---------------------------------------------------------------------------
+
+RETENTION_EPOCH = "DATE '2024-01-01'"
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention: users are cohorted by the week of
+    their FIRST event and every later event lands in an offset-week
+    bucket; each (cohort_wk, offset_wk) cell counts distinct returning
+    users and total events — the retention triangle every product
+    analytics stack computes.  Week buckets are INTEGER day arithmetic
+    (days since a fixed epoch, DIV 7), never engine week-truncation
+    (ISO-week rules differ subtly across engines/locales).  Scale
+    shape: one groupBy(user) for first-touch, an equi-join back on
+    user_id (AQE-broadcast when the user dimension is small after
+    aggregation), and one final groupBy over ~weeks^2 cells with
+    map-side partial distinct aggregation."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"datediff(CAST(ts AS DATE), {RETENTION_EPOCH})")
+        .cast("bigint")
+        .alias("day_id"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day_id").alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.expr("d0 DIV 7").cast("bigint").alias("cohort_wk"),
+            F.expr("(day_id - d0) DIV 7").cast("bigint").alias("offset_wk"),
+        )
+        .agg(
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def _oracle_retention() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_diff('day', {RETENTION_EPOCH}, CAST(ts AS DATE)) AS BIGINT)
+           AS day_id
+  FROM events),
+first AS (SELECT user_id, MIN(day_id) AS d0 FROM ev GROUP BY user_id)
+SELECT CAST(d0 // 7 AS BIGINT) AS cohort_wk,
+       CAST((day_id - d0) // 7 AS BIGINT) AS offset_wk,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 4096  # tokens per packed training sequence
+# 64 ORDERED shards over the hash-key domain [0, 1000000007): global
+# order == (shard, key) order, so per-shard prefix sums + shard offsets
+# reconstruct the sequential cumsum exactly.
+PACK_SHARDS = 64
+PACK_SHARD_W = 1000000007 // PACK_SHARDS + 1
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style training-sequence packing: documents are concatenated
+    in a deterministic hash order and the token stream is chunked
+    every ``PACK_BUDGET`` tokens; each doc reports the bin and offset
+    where it STARTS (docs may span bins — boundary-agnostic packing,
+    the standard pretraining layout).  The global running token sum is
+    a DISTRIBUTED TWO-PHASE PREFIX SUM: the hash-key domain is cut
+    into {PACK_SHARDS} ORDERED shards, each shard cumsums in parallel
+    (window partitioned by shard), and the tiny shard-total table
+    (one row per shard) cumsums into per-shard offsets that join back
+    broadcast — no global single-partition window anywhere, so the
+    plan holds at 100 TB where a bare ``ORDER BY`` window would
+    collapse to one task.  The oracle is the SEQUENTIAL global cumsum,
+    so a green row proves the two-phase decomposition exact."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id",
+        F.expr(STRAT_KEY_SQL).cast("bigint").alias("k"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        ).alias("tok"),
+    ).withColumn("shard", F.expr(f"k DIV {PACK_SHARD_W}").cast("bigint"))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("cum_in", F.sum("tok").over(w_in))
+    totals = base.groupBy("shard").agg(F.sum("tok").alias("shard_tok"))
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # {PACK_SHARDS} rows total — single-partition here is fine
+    offsets = totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_tok").over(w_sh), F.lit(0))
+        .cast("bigint")
+        .alias("base_off"),
+    )
+    out = local.join(F.broadcast(offsets), "shard")
+    return out.selectExpr(
+        "doc_id",
+        "tok",
+        "CAST(base_off + cum_in - tok AS BIGINT) AS cum_before",
+        f"CAST((base_off + cum_in - tok) DIV {PACK_BUDGET} AS BIGINT) AS bin",
+        f"CAST((base_off + cum_in - tok) % {PACK_BUDGET} AS BIGINT) AS bin_off",
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {STRAT_KEY_SQL} AS k,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, tok,
+         SUM(tok) OVER (ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base)
+SELECT doc_id, tok,
+       CAST(cum - tok AS BIGINT) AS cum_before,
+       CAST((cum - tok) // {PACK_BUDGET} AS BIGINT) AS bin,
+       CAST((cum - tok) % {PACK_BUDGET} AS BIGINT) AS bin_off
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3192,8 +3328,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_group_distinct_sketch": q_group_distinct_sketch,
     # spatial core
-    "q_pip_join": q_pip_join,
-    "q_knn": q_knn,
     # training-data pipeline
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
@@ -3214,6 +3348,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cell_upsert": q_cell_upsert,
     "q_pmi_collocations": q_pmi_collocations,
     "q_shingle_containment": q_shingle_containment,
+    "q_retention": q_retention,
+    "q_pack_sequences": q_pack_sequences,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
@@ -3221,6 +3357,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_sessions": q_events_sessions,
     "q_prep_pipeline": q_prep_pipeline,
+    "q_pip_join": q_pip_join,
+    "q_knn": q_knn,
     "q_dedup_minhash": q_dedup_minhash,
     "q_text_features": q_text_features,
     "q_dedup_exact": q_dedup_exact,
@@ -3539,6 +3677,8 @@ FROM documents
     "q_cell_upsert": _oracle_cell_upsert(),
     "q_pmi_collocations": _oracle_pmi_collocations(),
     "q_shingle_containment": _oracle_shingle_containment(),
+    "q_retention": _oracle_retention(),
+    "q_pack_sequences": _oracle_pack_sequences(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
