@@ -429,3 +429,41 @@ def test_bucketed_join_query_zero_exchange_smj(spark):
     assert tree.count("Exchange") == 1, tree
     # both sides scan bucketed layouts
     assert plan.count("Bucketed: true") == 2
+
+
+def test_bbox_join_plan_broadcast_no_cartesian(spark):
+    """q_bbox_join contract: PBSM candidate generation is an equi-join
+    on block keys with the small side broadcast — never a cartesian /
+    NLJ pass, and the big (orders) side never shuffles."""
+    plan = plan_of(QUERIES["q_bbox_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange is the broadcast of the filtered part side
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_no_global_window_over_docs(spark):
+    """q_pack_sequences contract: the corpus-wide prefix sum is the
+    two-phase decomposition — the window over the full doc table is
+    PARTITIONED (by shard), and the only single-partition window runs
+    over the tiny shard-totals aggregate (PACK_SHARDS rows)."""
+    plan = plan_of(QUERIES["q_pack_sequences"](spark, SF))
+    # the big-side window partitions by shard (its Exchange is a hash
+    # repartition on the shard key, not a global collapse)
+    assert "hashpartitioning(shard" in plan
+    # exactly ONE single-partition exchange exists — the 64-row
+    # shard-totals table feeding the offsets window — never the corpus
+    assert plan.count("SinglePartition") == 1
+    # offsets join back via broadcast (the big side stays put)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retention_single_final_aggregate(spark):
+    """q_retention contract: first-touch agg + equi-join + ONE final
+    aggregation — no extra shuffles beyond the three keyed exchanges."""
+    plan = plan_of(QUERIES["q_retention"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # distinct-count rides the final aggregate (partial_count pattern),
+    # not a separate distinct pass
+    assert plan.count("Exchange hashpartitioning") <= 4
