@@ -3011,7 +3011,8 @@ tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS nt,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM bigr) AS nb)
 SELECT bg, c_ab, a.c_w AS c_a, b.c_w AS c_b,
        CAST(c_ab AS DOUBLE) * nt / a.c_w * nt / b.c_w / nb AS lift
-FROM bgc, tot
+FROM bgc
+CROSS JOIN tot
 JOIN uni a ON a.tok = string_split(bg, ' ')[1]
 JOIN uni b ON b.tok = string_split(bg, ' ')[2]
 """
