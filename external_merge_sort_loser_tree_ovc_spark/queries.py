@@ -3268,6 +3268,138 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# triangle counting (degree-ordered, the O(m^1.5) algorithm)
+# ---------------------------------------------------------------------------
+
+
+def q_triangles(spark, sf_dir):
+    """Distributed triangle count over the deterministic 256-host
+    graph (same edge derivation as PageRank): undirected distinct
+    edges are ORIENTED from the lower-(degree, id) endpoint to the
+    higher one, wedges enumerate pairs of out-neighbours, and a final
+    equi-join against the oriented edge list closes each triangle
+    EXACTLY ONCE (every triangle has a unique lowest-ordered corner).
+    The degree orientation is what makes this the scale-correct
+    algorithm: out-degrees are bounded by O(sqrt(m)) on any graph, so
+    the wedge intermediate is O(m^1.5) instead of the O(sum deg^2)
+    a naive neighbour-pair join produces on skewed web graphs.
+    All joins are equi-joins on node/edge keys; counts are exact
+    integers."""
+    p = _read(spark, sf_dir, "part")
+    raw = p.selectExpr(
+        f"CAST({PR_SRC_SQL} AS BIGINT) AS u", f"CAST({PR_DST1_SQL} AS BIGINT) AS v"
+    ).union(
+        p.selectExpr(
+            f"CAST({PR_SRC_SQL} AS BIGINT) AS u",
+            f"CAST({PR_DST2_SQL} AS BIGINT) AS v",
+        )
+    )
+    und = (
+        raw.filter(F.col("u") != F.col("v"))
+        .selectExpr("least(u, v) AS a", "greatest(u, v) AS b")
+        .distinct()
+    )
+    deg = (
+        und.selectExpr("a AS n").union(und.selectExpr("b AS n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.selectExpr("n AS a", "d AS d_a")
+    db = deg.selectExpr("n AS b", "d AS d_b")
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .selectExpr(
+            "CASE WHEN d_a < d_b OR (d_a = d_b AND a < b) THEN a ELSE b END AS s",
+            "CASE WHEN d_a < d_b OR (d_a = d_b AND a < b) THEN b ELSE a END AS t",
+        )
+    )
+    e1 = oriented.selectExpr("s", "t AS w1")
+    e2 = oriented.selectExpr("s", "t AS w2")
+    wedges = e1.join(e2, "s").filter(F.col("w1") < F.col("w2"))
+    closing = oriented.selectExpr(
+        "least(s, t) AS wx", "greatest(s, t) AS wy"
+    ).distinct()
+    tri = wedges.join(
+        closing,
+        (F.col("w1") == F.col("wx")) & (F.col("w2") == F.col("wy")),
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .crossJoin(
+            wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+        )
+    )  # 1x1x1 scalar joins
+
+
+def _oracle_triangles() -> str:
+    return f"""
+WITH raw AS (
+  SELECT CAST({PR_SRC_SQL} AS BIGINT) AS u, CAST({PR_DST1_SQL} AS BIGINT) AS v
+  FROM part
+  UNION ALL
+  SELECT CAST({PR_SRC_SQL} AS BIGINT) AS u, CAST({PR_DST2_SQL} AS BIGINT) AS v
+  FROM part),
+und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+        FROM raw WHERE u <> v),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS s,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS t
+  FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+wedges AS (
+  SELECT e1.s, e1.t AS w1, e2.t AS w2
+  FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t),
+closing AS (SELECT DISTINCT LEAST(s, t) AS wx, GREATEST(s, t) AS wy
+            FROM oriented)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges w
+        JOIN closing c ON w.w1 = c.wx AND w.w2 = c.wy) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges
+"""
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_C = 50_000  # 500-currency-unit buckets, in cents
+
+
+def q_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals: integer-cent bucket ids
+    (value DIV {HIST_BUCKET_C}), per-bucket count + exact cent sum +
+    min/max — one partial-aggregated groupBy over ~hundreds of bucket
+    keys, the canonical distribution profile that never needs a
+    sort."""
+    o = _read(spark, sf_dir, "orders").select(
+        F.expr(_cents("o_totalprice")).alias("v_c")
+    )
+    return (
+        o.groupBy(F.expr(f"v_c DIV {HIST_BUCKET_C}").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_c").cast("bigint").alias("sum_c"),
+            F.min("v_c").cast("bigint").alias("min_c"),
+            F.max("v_c").cast("bigint").alias("max_c"),
+        )
+    )
+
+
+def _oracle_histogram() -> str:
+    return f"""
+SELECT CAST({_cents('o_totalprice')} // {HIST_BUCKET_C} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({_cents('o_totalprice')}) AS BIGINT) AS sum_c,
+       CAST(MIN({_cents('o_totalprice')}) AS BIGINT) AS min_c,
+       CAST(MAX({_cents('o_totalprice')}) AS BIGINT) AS max_c
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3292,8 +3424,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sort/merge core (reference operators)
     "q_sort_lineitem": q_sort_lineitem,
     "q_sort_witness": q_sort_witness,
-    "q_filter_scan": q_filter_scan,
-    "q_topk_orders": q_topk_orders,
     # driver-window rotation: round-5/6 queries needing driver rows
     "q_array_funcs": q_array_funcs,
     "q_json_funcs": q_json_funcs,
@@ -3351,6 +3481,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shingle_containment": q_shingle_containment,
     "q_retention": q_retention,
     "q_pack_sequences": q_pack_sequences,
+    "q_triangles": q_triangles,
+    "q_histogram": q_histogram,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
@@ -3358,6 +3490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_sessions": q_events_sessions,
     "q_prep_pipeline": q_prep_pipeline,
+    "q_filter_scan": q_filter_scan,
+    "q_topk_orders": q_topk_orders,
     "q_pip_join": q_pip_join,
     "q_knn": q_knn,
     "q_dedup_minhash": q_dedup_minhash,
@@ -3680,6 +3814,8 @@ FROM documents
     "q_shingle_containment": _oracle_shingle_containment(),
     "q_retention": _oracle_retention(),
     "q_pack_sequences": _oracle_pack_sequences(),
+    "q_triangles": _oracle_triangles(),
+    "q_histogram": _oracle_histogram(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
