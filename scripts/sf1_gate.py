@@ -168,6 +168,19 @@ def main() -> None:
         print(f"{status} {name} {json.dumps(rec)[:200]}", flush=True)
 
     spark.stop()
+    if args.only and os.path.exists(args.out):
+        # partial (--only) runs MERGE into the existing artifact so a
+        # single-query refresh never clobbers the full-registry record;
+        # rows for queries no longer in the registry are dropped
+        try:
+            with open(args.out) as f:
+                prior = json.load(f).get("results", {})
+            merged = {k: v for k, v in prior.items() if k in QUERIES}
+            merged.update(results)
+            # keep registry order for readability
+            results = {k: merged[k] for k in QUERIES if k in merged}
+        except (json.JSONDecodeError, OSError):
+            pass
     full = sum(1 for r in results.values() if r.get("hash_match"))
     smoke = sum(1 for r in results.values() if not r.get("checked", True))
     doc = {
