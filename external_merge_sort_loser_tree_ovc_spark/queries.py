@@ -3400,6 +3400,140 @@ FROM orders GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# fixed-radius distance join (grid-blocked spatial self-join)
+# ---------------------------------------------------------------------------
+
+DISTJ_R = 100  # radius in integer grid units (lattice min gap ~70.7)
+DISTJ_G = 128  # block size > R, so a 3x3 ring covers every candidate
+
+
+def q_distance_join(spark, sf_dir):
+    """Fixed-radius spatial self-join: every point pair within
+    distance {DISTJ_R} (integer squared-distance metric — exact, no
+    floats).  One side replicates to its 3x3 block neighbourhood
+    (9-way bounded explode; G > R guarantees coverage), the other
+    stays in its home block, the blocks equi-join, and the exact
+    dist^2 <= R^2 refine plus ``a_id < b_id`` keep each pair exactly
+    once (home blocks are unique, and the symmetric (b,a) match is
+    the ordered filter's other half).  This is the companion primitive
+    to kNN (q_knn): fixed radius instead of fixed k, same
+    cell-blocking scale story — candidates are bounded by local
+    density x 9 blocks, never all pairs; at 100 TB the equi-join
+    shuffles on block keys and skewed dense blocks ride the AQE skew
+    story."""
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "xi", "yi")
+    home = pts.selectExpr(
+        "doc_id AS b_id",
+        "xi AS bx",
+        "yi AS by",
+        f"xi DIV {DISTJ_G} AS cx",
+        f"yi DIV {DISTJ_G} AS cy",
+    )
+    ring = (
+        pts.selectExpr("doc_id AS a_id", "xi AS ax", "yi AS ay")
+        .select(
+            "*", F.explode(F.expr("sequence(-1, 1)")).alias("dx")
+        )
+        .select("*", F.explode(F.expr("sequence(-1, 1)")).alias("dy"))
+        .selectExpr(
+            "a_id",
+            "ax",
+            "ay",
+            f"ax DIV {DISTJ_G} + dx AS cx",
+            f"ay DIV {DISTJ_G} + dy AS cy",
+        )
+    )
+    return (
+        ring.join(home, ["cx", "cy"])
+        .filter(
+            F.expr(
+                f"a_id < b_id AND "
+                f"(ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= {DISTJ_R * DISTJ_R}"
+            )
+        )
+        .selectExpr(
+            "a_id",
+            "b_id",
+            "CAST((ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS BIGINT) AS dist2",
+        )
+    )
+
+
+def _oracle_distance_join() -> str:
+    return f"""
+WITH {_pts_cte()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST((a.xi - b.xi) * (a.xi - b.xi)
+          + (a.yi - b.yi) * (a.yi - b.yi) AS BIGINT) AS dist2
+FROM pts a JOIN pts b
+  ON b.xi BETWEEN a.xi - {DISTJ_R} AND a.xi + {DISTJ_R}
+ AND b.yi BETWEEN a.yi - {DISTJ_R} AND a.yi + {DISTJ_R}
+ AND (a.xi - b.xi) * (a.xi - b.xi)
+   + (a.yi - b.yi) * (a.yi - b.yi) <= {DISTJ_R * DISTJ_R}
+ AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 versioned dimension (warehouse merge semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_dim(spark, sf_dir):
+    """Slowly-changing-dimension type 2: a dimension keyed by
+    ``doc_id DIV 10`` receives version-0 rows (``doc_id % 10 = 0``)
+    and version-1 updates (``doc_id % 10 = 1``); the merge emits the
+    full version CHAIN per key — each row carries valid_from_v,
+    valid_to_v (next version or open = 999) and an is_current flag —
+    the row-level versioned-merge semantics behind warehouse MERGE
+    INTO, complementing q_cell_upsert's aggregate-level merge.  One
+    window (lead over version) per key; at scale the shuffle is on the
+    dimension key, and the update batch is days smaller than the
+    dimension so AQE broadcasts it in the real incremental form.  The
+    oracle derives valid_to via a correlated MIN-of-later-versions
+    subquery — structurally different from the engine's lead()."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 <= 1)
+    rows = d.selectExpr(
+        "doc_id DIV 10 AS key",
+        "doc_id % 10 AS version",
+        "n_chars AS value",
+    )
+    w = Window.partitionBy("key").orderBy("version")
+    return rows.select(
+        "key",
+        "version",
+        "value",
+        F.col("version").alias("valid_from_v"),
+        F.coalesce(F.lead("version").over(w), F.lit(999))
+        .cast("bigint")
+        .alias("valid_to_v"),
+        F.expr(
+            "CAST(CASE WHEN lead(version) OVER "
+            "(PARTITION BY key ORDER BY version) IS NULL "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_current"),
+    )
+
+
+def _oracle_scd2_dim() -> str:
+    return """
+WITH rows_v AS (
+  SELECT doc_id // 10 AS key, doc_id % 10 AS version, n_chars AS value
+  FROM documents WHERE doc_id % 10 <= 1)
+SELECT r.key, r.version, r.value,
+       r.version AS valid_from_v,
+       CAST(COALESCE((SELECT MIN(n.version) FROM rows_v n
+                      WHERE n.key = r.key AND n.version > r.version),
+                     999) AS BIGINT) AS valid_to_v,
+       CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM rows_v n
+                                  WHERE n.key = r.key
+                                    AND n.version > r.version)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM rows_v r
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3460,8 +3594,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_group_distinct_sketch": q_group_distinct_sketch,
     # spatial core
     # training-data pipeline
-    "q_ann_neardup": q_ann_neardup,
-    "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
     # late round-6 additions (never driver-evaluated before): swapped
     # into the window in place of q_doc_chunks / q_url_canonical /
@@ -3483,6 +3615,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_triangles": q_triangles,
     "q_histogram": q_histogram,
+    "q_distance_join": q_distance_join,
+    "q_scd2_dim": q_scd2_dim,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
@@ -3490,6 +3624,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_sessions": q_events_sessions,
     "q_prep_pipeline": q_prep_pipeline,
+    "q_ann_neardup": q_ann_neardup,
+    "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_filter_scan": q_filter_scan,
     "q_topk_orders": q_topk_orders,
     "q_pip_join": q_pip_join,
@@ -3816,6 +3952,8 @@ FROM documents
     "q_pack_sequences": _oracle_pack_sequences(),
     "q_triangles": _oracle_triangles(),
     "q_histogram": _oracle_histogram(),
+    "q_distance_join": _oracle_distance_join(),
+    "q_scd2_dim": _oracle_scd2_dim(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
