@@ -3549,11 +3549,17 @@ FROM rows_v r
 # approximate-by-design with deliberately NO oracle (a window slot
 # would only ever produce a `no_oracle` row) — their driver-checkable
 # recall derivatives (q_ann_lsh_recall / q_ann_ivf_recall) sit inside
-# the window instead, so every window row can be green.  This session's
-# window holds the 19 round-6 batch-1 queries, the 3 late batch-2
-# additions (jpeg / repetition / incremental), and the 12 batch-2/3
-# additions (format roundtrips, tfidf, fuzzy join, cell compaction,
-# bucketed join, profile, funnel, pagerank, grouped KMV).
+# the window instead, so every window row can be green.  The round-6
+# window holds every session-2 addition (format roundtrips, tfidf,
+# fuzzy join, cell compaction, bucketed join, profile, funnel,
+# pagerank, grouped KMV, jpeg, repetition, incremental dedup) plus the
+# 13 session-3 additions (quality rules, gap fill, stratified sample,
+# bbox join, cell upsert, PMI, shingle containment, retention,
+# sequence packing, triangles, histogram, distance join, SCD-2);
+# rotated to the tail in exchange (driver-green rounds 1-5):
+# filter_scan, topk_orders, tpch_q1, revenue_by_nation,
+# events_sessions, prep_pipeline, dedup_exact(+scale), dedup_minhash,
+# text_features, pip_join, knn, ann_neardup(+probe).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sort/merge core (reference operators)
     "q_sort_lineitem": q_sort_lineitem,
