@@ -3534,6 +3534,55 @@ FROM rows_v r
 
 
 # ---------------------------------------------------------------------------
+# boolean search (inverted-index conjunctive retrieval)
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("spark", "merge", "join")
+
+
+def q_boolean_search(spark, sf_dir):
+    """Conjunctive boolean retrieval: documents containing ALL query
+    terms, computed the way a search engine does it — intersect
+    posting lists: explode DISTINCT doc terms, keep only query-term
+    postings (the filter prunes the index scan to |terms| keys), and
+    a count == k group test implements the k-way intersection.  The
+    oracle evaluates the direct per-document containment predicate
+    instead — two structurally different retrieval plans must agree.
+    At 100 TB the posting explode never materializes the full index:
+    the term filter sits below the explode's shuffle and only rows
+    for the k query terms move."""
+    k = len(SEARCH_TERMS)
+    terms_arr = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    postings = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"array_intersect(split(text, ' '), array({terms_arr}))"
+            )
+        ).alias("term"),
+    )
+    return (
+        postings.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select("doc_id", "lang", "n_hit")
+    )
+
+
+def _oracle_boolean_search() -> str:
+    preds = " AND ".join(
+        f"list_contains(string_split(text, ' '), '{t}')" for t in SEARCH_TERMS
+    )
+    return f"""
+SELECT doc_id, lang, CAST({len(SEARCH_TERMS)} AS BIGINT) AS n_hit
+FROM documents
+WHERE text IS NOT NULL AND {preds}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3600,7 +3649,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_group_distinct_sketch": q_group_distinct_sketch,
     # spatial core
     # training-data pipeline
-    "q_dedup_embed_cosine": q_dedup_embed_cosine,
     # late round-6 additions (never driver-evaluated before): swapped
     # into the window in place of q_doc_chunks / q_url_canonical /
     # q_url_host_stats, which have been driver-green since round 4
@@ -3623,6 +3671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram": q_histogram,
     "q_distance_join": q_distance_join,
     "q_scd2_dim": q_scd2_dim,
+    "q_boolean_search": q_boolean_search,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
@@ -3632,6 +3681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_prep_pipeline": q_prep_pipeline,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
+    "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_filter_scan": q_filter_scan,
     "q_topk_orders": q_topk_orders,
     "q_pip_join": q_pip_join,
@@ -3960,6 +4010,7 @@ FROM documents
     "q_histogram": _oracle_histogram(),
     "q_distance_join": _oracle_distance_join(),
     "q_scd2_dim": _oracle_scd2_dim(),
+    "q_boolean_search": _oracle_boolean_search(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
