@@ -3602,13 +3602,15 @@ WHERE text IS NOT NULL AND {preds}
 # window holds every session-2 addition (format roundtrips, tfidf,
 # fuzzy join, cell compaction, bucketed join, profile, funnel,
 # pagerank, grouped KMV, jpeg, repetition, incremental dedup) plus the
-# 13 session-3 additions (quality rules, gap fill, stratified sample,
+# 14 session-3 additions (quality rules, gap fill, stratified sample,
 # bbox join, cell upsert, PMI, shingle containment, retention,
-# sequence packing, triangles, histogram, distance join, SCD-2);
+# sequence packing, triangles, histogram, distance join, SCD-2,
+# boolean search);
 # rotated to the tail in exchange (driver-green rounds 1-5):
 # filter_scan, topk_orders, tpch_q1, revenue_by_nation,
 # events_sessions, prep_pipeline, dedup_exact(+scale), dedup_minhash,
-# text_features, pip_join, knn, ann_neardup(+probe).
+# text_features, pip_join, knn, ann_neardup(+probe),
+# dedup_embed_cosine.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sort/merge core (reference operators)
     "q_sort_lineitem": q_sort_lineitem,
