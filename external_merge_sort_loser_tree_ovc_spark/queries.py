@@ -3583,6 +3583,123 @@ WHERE text IS NOT NULL AND {preds}
 
 
 # ---------------------------------------------------------------------------
+# snapshot diff (CDC-style table comparison)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Change-data-capture diff of two table snapshots: snapshot A is
+    the dimension without keys ``% 7 = 0`` (deleted-tomorrow rows),
+    snapshot B drops keys ``% 11 = 0`` and rewrites the value where
+    ``% 5 = 0`` — the diff classifies every key as added / removed /
+    changed / unchanged via ONE full-outer join on the key plus a
+    null-aware value compare, the audit every pipeline promotion
+    gate runs.  Counts per class are the 4-row report (cheap final
+    agg); at 100 TB the join shuffles both snapshots once on the key
+    — there is no cheaper exact diff — and unchanged rows never leave
+    the join (class filter below the report agg)."""
+    c = _read(spark, sf_dir, "customer")
+    a = c.filter(F.expr("c_custkey % 7 != 0")).selectExpr(
+        "c_custkey AS k", f"{_cents('c_acctbal')} AS v"
+    )
+    b = c.filter(F.expr("c_custkey % 11 != 0")).selectExpr(
+        "c_custkey AS k",
+        f"CASE WHEN c_custkey % 5 = 0 THEN {_cents('c_acctbal')} + 100 "
+        f"ELSE {_cents('c_acctbal')} END AS v",
+    )
+    j = a.selectExpr("k AS ka", "v AS va").join(
+        b.selectExpr("k AS kb", "v AS vb"),
+        F.expr("ka = kb"),
+        "full_outer",
+    )
+    classed = j.selectExpr(
+        """CASE WHEN ka IS NULL THEN 'added'
+                WHEN kb IS NULL THEN 'removed'
+                WHEN va != vb THEN 'changed'
+                ELSE 'unchanged' END AS class"""
+    )
+    return classed.groupBy("class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def _oracle_snapshot_diff() -> str:
+    return f"""
+WITH a AS (SELECT c_custkey AS k, {_cents('c_acctbal')} AS v
+           FROM customer WHERE c_custkey % 7 != 0),
+b AS (SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 5 = 0 THEN {_cents('c_acctbal')} + 100
+                  ELSE {_cents('c_acctbal')} END AS v
+      FROM customer WHERE c_custkey % 11 != 0)
+SELECT CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            WHEN a.v != b.v THEN 'changed'
+            ELSE 'unchanged' END AS class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a FULL OUTER JOIN b ON a.k = b.k
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling active users (sliding-window distinct aggregation)
+# ---------------------------------------------------------------------------
+
+ROLLING_W = 7  # trailing window in days
+
+
+def q_rolling_active(spark, sf_dir):
+    """Trailing-{ROLLING_W}-day active users per day — the canonical
+    engagement metric, and the canonical sliding-window DISTINCT
+    problem (plain window frames cannot deduplicate).  The scalable
+    formulation: distinct (user, day) pairs explode to the
+    {ROLLING_W} report days they remain active for (bounded integer
+    ``sequence`` fan-out), then one groupBy(report_day) counts
+    distinct users — shuffle volume is active-pairs x W, never a
+    per-day rescan of the stream.  Report days are clipped to the
+    observed day range so both engines agree on the frontier.  The
+    oracle is the direct range join (day BETWEEN d-6 AND d) —
+    structurally different."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"datediff(CAST(ts AS DATE), {RETENTION_EPOCH})")
+        .cast("bigint")
+        .alias("day_id"),
+    )
+    pairs = ev.distinct()
+    max_day = pairs.agg(F.max("day_id").alias("dmax"))  # 1 row
+    exploded = pairs.crossJoin(F.broadcast(max_day)).select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day_id, least(day_id + {ROLLING_W - 1}, dmax))")
+        ).alias("report_day"),
+    )
+    return exploded.groupBy("report_day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active")
+    )
+
+
+def _oracle_rolling_active() -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', {RETENTION_EPOCH}, CAST(ts AS DATE)) AS BIGINT)
+           AS day_id
+  FROM events),
+days AS (SELECT DISTINCT day_id AS report_day FROM ud
+         UNION
+         SELECT DISTINCT d.day_id + o AS report_day
+         FROM ud d, UNNEST(range(1, {ROLLING_W})) AS t(o)
+         WHERE d.day_id + o <= (SELECT MAX(day_id) FROM ud))
+SELECT d.report_day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+FROM days d JOIN ud u
+  ON u.day_id BETWEEN d.report_day - {ROLLING_W - 1} AND d.report_day
+GROUP BY d.report_day
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3612,9 +3729,6 @@ WHERE text IS NOT NULL AND {preds}
 # text_features, pip_join, knn, ann_neardup(+probe),
 # dedup_embed_cosine.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # sort/merge core (reference operators)
-    "q_sort_lineitem": q_sort_lineitem,
-    "q_sort_witness": q_sort_witness,
     # driver-window rotation: round-5/6 queries needing driver rows
     "q_array_funcs": q_array_funcs,
     "q_json_funcs": q_json_funcs,
@@ -3674,6 +3788,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_distance_join": q_distance_join,
     "q_scd2_dim": q_scd2_dim,
     "q_boolean_search": q_boolean_search,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_rolling_active": q_rolling_active,
     # ---- driver window boundary (position 50) ----
     # everything below is driver-green since rounds 1-3 (or no_oracle
     # by design) and keeps repo-gate + sf1 coverage every round
@@ -3681,6 +3797,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_sessions": q_events_sessions,
     "q_prep_pipeline": q_prep_pipeline,
+    # sort/merge core: driver-green r1-r5, rotated to the tail for the
+    # session-3 window additions; still covered every round by the repo
+    # gate, the sf1 gate, and the kernel pytest matrix
+    "q_sort_lineitem": q_sort_lineitem,
+    "q_sort_witness": q_sort_witness,
     "q_ann_neardup": q_ann_neardup,
     "q_ann_neardup_probe": q_ann_neardup_probe,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
@@ -4013,6 +4134,8 @@ FROM documents
     "q_distance_join": _oracle_distance_join(),
     "q_scd2_dim": _oracle_scd2_dim(),
     "q_boolean_search": _oracle_boolean_search(),
+    "q_snapshot_diff": _oracle_snapshot_diff(),
+    "q_rolling_active": _oracle_rolling_active(),
     "q_funnel": ORACLE_FUNNEL,
     "q_pagerank": _oracle_pagerank(),
     "q_group_distinct_sketch": _oracle_group_distinct_sketch(),
