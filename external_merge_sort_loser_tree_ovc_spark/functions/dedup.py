@@ -137,6 +137,11 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.expr(f"stack({T.N_BANDS}, {stack}) AS (band, bv)"),
     ).select(id_col, "band", "bv")
+    # the band table feeds up to four consumers (hot-key agg, anti-join
+    # probe, both self-join sides): persist so the signature pass runs
+    # once per action, not once per consumer.  Same lifetime contract as
+    # the ngram gram index below — harnesses clearCache between queries.
+    bands = bands.persist()
     if band_df_cap is not None:
         bands = _drop_hot_keys(bands, ["band", "bv"], band_df_cap)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bv")
@@ -221,13 +226,62 @@ FROM sh a JOIN sh b ON a.sh = b.sh AND a.{id_col} < b.{id_col}
 def simhash_band_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, b0..b3): four 15-bit simhash bands per document.
 
-    Explode-agg shape (one word-hash evaluation per word, one aggregate
-    with all 60 bit-vote sums) — the per-row array formulation would let
-    Catalyst re-inline the word pipeline into every bit term.
+    Arrow/NumPy scale path (identical arithmetic to
+    :func:`simhash_band_table_catalyst`): the 60 rehash votes per word
+    hash are one vectorized (words x 60) matrix per Arrow batch instead
+    of a word explode + 60-column aggregate (guide §4.2).  All
+    int64-safe: max(a_k) * max(wh) < P^2 ~ 4.7e18 < 2^63.  Doc-local,
+    so the explode/agg shuffle disappears from the plan.
 
     NULL-text docs are excluded (no content -> no near-dup candidate);
     the oracle generator applies the same predicate, keeping engine and
     oracle aligned on nullable corpora."""
+    from .textops import _split_docs, _whash_np, rebalance_scan
+
+    nbits = T.SIMHASH_BANDS * T.SIMHASH_BAND_BITS
+    ab = np.asarray([T.simhash_bit_params(k) for k in range(nbits)], dtype=np.int64)
+    a_np, b_np = ab[:, 0], ab[:, 1]
+    jbits = np.arange(T.SIMHASH_BAND_BITS, dtype=np.int64)
+    src = rebalance_scan(
+        df.filter(F.col(text_col).isNotNull()).select(id_col, text_col), id_col
+    )
+    out_schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"b{b}", LongType()) for b in range(T.SIMHASH_BANDS)]
+    )
+
+    def run(it):
+        for pdf in it:
+            # sub-chunk docs so the (words x 60) vote matrix stays
+            # bounded (~100 MB) regardless of Arrow batch sizing
+            for s in range(0, len(pdf), 4096):
+                sub = pdf.iloc[s : s + 4096]
+                if sub.empty:
+                    continue
+                ids = sub[id_col].to_numpy(dtype=np.int64)
+                all_words, counts, starts = _split_docs(sub[text_col])
+                wh = _whash_np(all_words)
+                votes = ((((a_np * wh[:, None]) + b_np) % T.P & 1) * 2 - 1).astype(
+                    np.int64
+                )
+                seg = np.add.reduceat(votes, starts, axis=0)
+                pos = (seg > 0).astype(np.int64)
+                out = {id_col: ids}
+                for b in range(T.SIMHASH_BANDS):
+                    blk = pos[
+                        :, b * T.SIMHASH_BAND_BITS : (b + 1) * T.SIMHASH_BAND_BITS
+                    ]
+                    out[f"b{b}"] = (blk << jbits).sum(axis=1)
+                yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def simhash_band_table_catalyst(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Catalyst reference implementation of :func:`simhash_band_table`
+    (explode-agg shape; kept for the parity pytest)."""
     words = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
     ).withColumn("_h", F.expr(T.whash_sql("_w")))
@@ -268,7 +322,10 @@ def simhash_hamming_pairs(
     100 TB runs — a candidate pair is then only required to meet in a
     sub-cap band).  None = exact pigeonhole coverage.
     """
-    sh = simhash_band_table(df, id_col, text_col)
+    # the band table feeds THREE consumers (candidate bands + both
+    # verify sides): persist so the 60-vote pass runs once per action,
+    # not once per consumer (same lifetime contract as the gram index)
+    sh = simhash_band_table(df, id_col, text_col).persist()
     stack = ", ".join(f"{b}, b{b}" for b in range(T.SIMHASH_BANDS))
     bands = sh.select(
         F.col(id_col), F.expr(f"stack({T.SIMHASH_BANDS}, {stack}) AS (band, bv)")

@@ -65,6 +65,37 @@ def _quantize_np(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat.astype(np.float64) * SCALE + 0.5).astype(np.int64)
 
 
+
+def _int_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact int64 ``a @ b`` through BLAS when the magnitudes allow it.
+
+    NumPy has no BLAS kernel for integer dtypes — an int64 matmul runs a
+    naive C triple loop, ~50x slower than dgemm.  When
+    max|a| * max|b| * K < 2^53 every product and every partial sum is
+    exactly representable in float64, so the BLAS path returns the same
+    integers bit-for-bit (quantized embeddings: |x| ~ SCALE, dim 64 ->
+    bound ~ 6.4e7, five orders under the limit).  Larger magnitudes fall
+    back to the exact integer loop."""
+    if a.size and b.size:
+        bound = (
+            int(np.abs(a).max()) * int(np.abs(b).max()) * max(1, a.shape[-1])
+        )
+        if bound < (1 << 53):
+            return np.rint(
+                a.astype(np.float64) @ b.astype(np.float64)
+            ).astype(np.int64)
+    return a @ b
+
+
+def _query_rows(df: DataFrame, id_col: str, query_ids, query_pred: str | None):
+    """Filter the query block: by SQL predicate (preferred — the whole
+    selection folds into the plan, so no plan-build ``max(id)`` job is
+    needed to enumerate ids) or by an explicit id list."""
+    if query_pred is not None:
+        return df.filter(F.expr(query_pred))
+    return df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+
+
 def ann_topk(
     vectors: DataFrame,
     query_ids: list[int],
@@ -72,6 +103,7 @@ def ann_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred: str | None = None,
 ) -> DataFrame:
     """Exact top-k nearest (squared-L2 on quantized vecs) for each query
     id; ties broken by neighbour id.  A query is not its own neighbour.
@@ -80,7 +112,7 @@ def ann_topk(
     """
     spark = vectors.sparkSession
     qdf = (
-        vectors.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        _query_rows(vectors, id_col, query_ids, query_pred)
         .select(id_col, vec_col)
         .toPandas()
     )
@@ -107,7 +139,7 @@ def ann_topk(
             p_mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
             p_norm = (p_mat * p_mat).sum(axis=1)
             # int64 Gram matrix: dist2 = |p|^2 + |q|^2 - 2 p.q  (exact)
-            dots = p_mat @ mat_q.T
+            dots = _int_matmul(p_mat, mat_q.T)
             d2 = p_norm[:, None] + norm_q[None, :] - 2 * dots
             res = []
             for j in range(len(ids_q)):
@@ -132,7 +164,10 @@ def ann_topk(
             if res:
                 yield pd.concat(res, ignore_index=True)
 
-    cand = vectors.select(id_col, vec_col).mapInPandas(batch_topk, schema=out_schema)
+    from .textops import rebalance_scan
+
+    src = rebalance_scan(vectors.select(id_col, vec_col), id_col)
+    cand = src.mapInPandas(batch_topk, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -183,6 +218,7 @@ def ann_topk_cosine(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k, PURE Catalyst (zero Python in the hot path):
     the quantized dot product and squared norm are ``zip_with`` +
@@ -200,7 +236,7 @@ def ann_topk_cosine(
     Returns (query_id, neighbor_id, dot, norm2, rank).
     """
     q = (
-        vectors.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        _query_rows(vectors, id_col, query_ids, query_pred)
         .select(
             F.col(id_col).alias("query_id"),
             F.expr(_quant_expr_spark(vec_col)).alias("qe"),
@@ -249,6 +285,7 @@ def ann_topk_cosine_arrow(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow scale path: bit-identical output to
     ``ann_topk_cosine`` (same quantized int64 dot/norm and the same
@@ -266,7 +303,7 @@ def ann_topk_cosine_arrow(
     candidate rows per batch move."""
     spark = vectors.sparkSession
     qdf = (
-        vectors.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        _query_rows(vectors, id_col, query_ids, query_pred)
         .select(id_col, vec_col)
         .toPandas()
     )
@@ -291,7 +328,7 @@ def ann_topk_cosine_arrow(
             p_ids = pdf[id_col].to_numpy(dtype=np.int64)
             p_mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
             norm2 = (p_mat * p_mat).sum(axis=1)
-            dots = p_mat @ mat_q.T  # int64, exact
+            dots = _int_matmul(p_mat, mat_q.T)  # int64, exact (see _int_matmul)
             res = []
             for j in range(len(ids_q)):
                 mask = (p_ids != ids_q[j]) & (norm2 > 0)
@@ -317,7 +354,10 @@ def ann_topk_cosine_arrow(
             if res:
                 yield pd.concat(res, ignore_index=True)
 
-    cand = vectors.select(id_col, vec_col).mapInPandas(batch_topk, schema=out_schema)
+    from .textops import rebalance_scan
+
+    src = rebalance_scan(vectors.select(id_col, vec_col), id_col)
+    cand = src.mapInPandas(batch_topk, schema=out_schema)
     ck = (
         F.signum("dot") * F.col("dot") * F.col("dot")
     ).cast("double") / F.col("norm2").cast("double")
@@ -587,7 +627,7 @@ def _bucketize_frame(
     mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
     dim = mat.shape[1]
     planes = _plane_signs(dim, n_planes)
-    proj = mat @ planes.T  # (n, P) int64, exact
+    proj = _int_matmul(mat, planes.T)  # (n, P) int64, exact
     home = (
         (proj > 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64)[None, :]
     ).sum(axis=1)
@@ -723,7 +763,7 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
         for s in range(0, len(p_ids), step):
             pm = p_mat[s : s + step]
             pn = (pm * pm).sum(axis=1)
-            d2 = pn[:, None] + h_norm[None, :] - 2 * (pm @ h_mat.T)
+            d2 = pn[:, None] + h_norm[None, :] - 2 * _int_matmul(pm, h_mat.T)
             ii, jj = np.nonzero(
                 (d2 <= thr) & (p_ids[s : s + step, None] < h_ids[None, :])
             )
@@ -866,7 +906,7 @@ def _neardup_exact(vectors, dist2_max, *, id_col, vec_col):
             p_ids = pdf_[id_col].to_numpy(dtype=np.int64)
             p_mat = _quantize_np(np.stack(pdf_[vec_col].to_numpy()))
             p_norm = (p_mat * p_mat).sum(axis=1)
-            d2 = p_norm[:, None] + norm_all[None, :] - 2 * (p_mat @ mat_all.T)
+            d2 = p_norm[:, None] + norm_all[None, :] - 2 * _int_matmul(p_mat, mat_all.T)
             ii, jj = np.nonzero((d2 <= thr) & (p_ids[:, None] < ids_all[None, :]))
             if len(ii):
                 yield pd.DataFrame(
@@ -957,7 +997,7 @@ def _dist2_to_centroids(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return (
         (mat * mat).sum(axis=1)[:, None]
         + (cent * cent).sum(axis=1)[None, :]
-        - 2 * (mat @ cent.T)
+        - 2 * _int_matmul(mat, cent.T)
     )
 
 
@@ -1000,7 +1040,7 @@ def _gram_topk_group(
         d2 = (
             qn[s0 : s0 + step, None]
             + pn[None, :]
-            - 2 * (qm[s0 : s0 + step] @ pm.T)
+            - 2 * _int_matmul(qm[s0 : s0 + step], pm.T)
         )
         for j in range(d2.shape[0]):
             qid = qids_[s0 + j]
@@ -1100,7 +1140,7 @@ def kmeans_quantized(
     # init: sign-projection bucket means (buckets beyond k fold via mod)
     def bucket_assign(mat):
         planes = _plane_signs(mat.shape[1], n_planes)
-        bits = (mat @ planes.T > 0).astype(np.int64)
+        bits = (_int_matmul(mat, planes.T) > 0).astype(np.int64)
         b = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
         return b % k
 
@@ -1134,6 +1174,7 @@ def ann_ivf(
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 4,
+    query_pred: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: deterministic integer k-means coarse
     quantizer, queries probe their ``n_probe`` nearest centroids, exact
@@ -1206,7 +1247,7 @@ def ann_ivf(
                 }
             )
 
-    qs = vectors.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+    qs = _query_rows(vectors, id_col, query_ids, query_pred).select(
         id_col, vec_col
     )
     probes = qs.mapInPandas(probe, schema=probe_schema)
@@ -1348,6 +1389,7 @@ def ann_lsh_bucketed(
     vec_col: str = "embedding",
     n_planes: int = 6,
     n_probe_planes: int = 3,
+    query_pred: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection bucket join, exact
     rerank within bucket.  Recall < 1 by design -> no SQL oracle (the
@@ -1372,7 +1414,7 @@ def ann_lsh_bucketed(
             mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
             if planes is None:
                 planes = _plane_signs(mat.shape[1], n_planes)
-            proj = mat @ planes.T
+            proj = _int_matmul(mat, planes.T)
             bits = (proj > 0).astype(np.int64)
             bucket = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
             yield pd.DataFrame(
@@ -1391,7 +1433,7 @@ def ann_lsh_bucketed(
             mat = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
             if planes is None:
                 planes = _plane_signs(mat.shape[1], n_planes)
-            proj = mat @ planes.T
+            proj = _int_matmul(mat, planes.T)
             home = (
                 (proj > 0).astype(np.int64)
                 << np.arange(n_planes, dtype=np.int64)[None, :]
@@ -1436,7 +1478,7 @@ def ann_lsh_bucketed(
     # no cache: after the multi-probe refactor the bucketized table has
     # exactly one consumer (the join) — a cache would only pin a copy
     bucketed = src.mapInPandas(bucketize, schema=schema)
-    qs = src.filter(F.col(id_col).isin([int(q) for q in query_ids])).mapInPandas(
+    qs = _query_rows(src, id_col, query_ids, query_pred).mapInPandas(
         probe, schema=probe_schema
     )
     out_schema = StructType(

@@ -290,11 +290,15 @@ def q_knn(spark, sf_dir):
     """kNN via cell-ring expansion (integer metric, exact)."""
     geo = _docs_geo(spark, sf_dir).select("doc_id", "xi", "yi")
     queries = geo.filter(F.col("doc_id") % KNN_QUERY_MOD == 0)
+    # index_shift=None: density-adaptive cell span (the fixed
+    # KNN_SHIFT=8 span held ~420 points/cell at sf1 — a 6.5M-row
+    # radius-1 candidate set; adaptive sizing keeps ~24/cell at every
+    # scale).  Results are exact at any granularity.
     return knn_join(
         geo.withColumnRenamed("doc_id", "point_id"),
         queries.withColumnRenamed("doc_id", "query_id"),
         KNN_K,
-        index_shift=KNN_SHIFT,
+        index_shift=None,
     )
 
 
@@ -359,10 +363,13 @@ def q_text_features(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    # query block selected by the SAME predicate the oracle uses — no
+    # plan-build max(vec_id) job (r6 verdict #3); the only remaining
+    # plan-build action is materializing the broadcast query block
     emb = _read(spark, sf_dir, "embeddings")
-    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
-    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    return ann_topk(emb, qids, ANN_K)
+    return ann_topk(
+        emb, None, ANN_K, query_pred=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -375,9 +382,9 @@ def q_ann_cosine(spark, sf_dir):
     stays exported with its own pure-JVM plan contract in
     tests/test_plan_shapes.py; both verify against the same oracle."""
     emb = _read(spark, sf_dir, "embeddings")
-    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
-    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    return ann_topk_cosine_arrow(emb, qids, ANN_K)
+    return ann_topk_cosine_arrow(
+        emb, None, ANN_K, query_pred=f"vec_id % {ANN_QUERY_MOD} = 0"
+    )
 
 
 def q_ann_neardup(spark, sf_dir):
@@ -440,13 +447,18 @@ def q_ann_lsh(spark, sf_dir):
     pinned in pytest with its documented ceiling; the clustered
     gate-config recall >= 0.9 is asserted in pytest too)."""
     raw = _read(spark, sf_dir, "embeddings")
-    # ids pass through clustered_embeddings unchanged — read max from
-    # the RAW table so the qid probe doesn't pay a re-embedding pass;
-    # persist the fixture since home+probe bucketize both consume it
-    mx = raw.agg(F.max("vec_id")).collect()[0][0] or 0
+    # persist the fixture since home+probe bucketize both consume it;
+    # the query block is the same modulus predicate as the oracle, so
+    # no plan-build max(vec_id) job (r6 verdict #3)
     emb = clustered_embeddings(raw).persist()
-    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    return ann_lsh_bucketed(emb, qids, ANN_K, n_planes=8, n_probe_planes=4)
+    return ann_lsh_bucketed(
+        emb,
+        None,
+        ANN_K,
+        n_planes=8,
+        n_probe_planes=4,
+        query_pred=f"vec_id % {ANN_QUERY_MOD} = 0",
+    )
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -562,9 +574,14 @@ def q_ann_ivf(spark, sf_dir):
     quantizer + probe-and-rerank).  Approximate by design -> rows-only
     check; recall vs ann_topk asserted in pytest."""
     emb = _read(spark, sf_dir, "embeddings")
-    mx = emb.agg(F.max("vec_id")).collect()[0][0] or 0
-    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    return ann_ivf(emb, qids, ANN_K, n_clusters=16, n_probe=4)
+    return ann_ivf(
+        emb,
+        None,
+        ANN_K,
+        n_clusters=16,
+        n_probe=4,
+        query_pred=f"vec_id % {ANN_QUERY_MOD} = 0",
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -616,11 +633,12 @@ def q_ann_lsh_recall(spark, sf_dir):
     rerank breaks the equality and turns the driver row red (the r3
     plane-parity collapse would have been caught here)."""
     raw = _read(spark, sf_dir, "embeddings")
-    mx = raw.agg(F.max("vec_id")).collect()[0][0] or 0
     emb = clustered_embeddings(raw).persist()
-    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    approx = ann_lsh_bucketed(emb, qids, ANN_K, n_planes=8, n_probe_planes=4)
-    exact = ann_topk(emb, qids, ANN_K)
+    pred = f"vec_id % {ANN_QUERY_MOD} = 0"
+    approx = ann_lsh_bucketed(
+        emb, None, ANN_K, n_planes=8, n_probe_planes=4, query_pred=pred
+    )
+    exact = ann_topk(emb, None, ANN_K, query_pred=pred)
     return _ann_recall_vs_exact(approx, exact)
 
 
@@ -633,11 +651,12 @@ def q_ann_ivf_recall(spark, sf_dir):
     partitionings, so the probed cells — and therefore hits@k — are
     deterministic."""
     raw = _read(spark, sf_dir, "embeddings")
-    mx = raw.agg(F.max("vec_id")).collect()[0][0] or 0
     emb = clustered_embeddings(raw).persist()
-    qids = list(range(0, int(mx) + 1, ANN_QUERY_MOD))
-    approx = ann_ivf(emb, qids, ANN_K, n_clusters=16, n_probe=4)
-    exact = ann_topk(emb, qids, ANN_K)
+    pred = f"vec_id % {ANN_QUERY_MOD} = 0"
+    approx = ann_ivf(
+        emb, None, ANN_K, n_clusters=16, n_probe=4, query_pred=pred
+    )
+    exact = ann_topk(emb, None, ANN_K, query_pred=pred)
     return _ann_recall_vs_exact(approx, exact)
 
 
@@ -875,9 +894,23 @@ def q_tpch_q1(spark, sf_dir):
 
 def q_revenue_by_nation(spark, sf_dir):
     """3-way join: lineitem->orders->customer->nation; the two dims are
-    broadcast (no shuffle of the fact side until the final agg)."""
-    li = _read(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.expr(_cents("l_extendedprice * (1 - l_discount)")).alias("rev_c")
+    broadcast (no shuffle of the fact side until the final agg).
+
+    The fact side pre-aggregates per order key BEFORE the join (guide
+    §2.3 "aggregate before you shuffle"): lineitem rows for one order
+    are contiguous in the scan, so partial map-side aggregation folds
+    ~4 lineitems into one (orderkey, rev, n) row and the orderkey
+    exchange carries ~1.5M narrow rows instead of 6M — the final
+    n_name aggregate sums the partial sums (integer cents: exact and
+    order-independent, results unchanged)."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(_cents("l_extendedprice * (1 - l_discount)")).alias("rev_c"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev_c").alias("rev_c"), F.count(F.lit(1)).alias("n_items"))
     )
     orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -887,7 +920,10 @@ def q_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum("rev_c").alias("revenue_c"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            F.sum("rev_c").alias("revenue_c"),
+            F.sum("n_items").alias("n_items"),
+        )
     )
 
 
@@ -897,7 +933,10 @@ def q_window_topk(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
+        # project the 3 needed columns BEFORE the window exchange so the
+        # shuffle carries 3 of 6 order columns (guide §2.3)
         _read(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
@@ -2113,29 +2152,40 @@ def q_fuzzy_join(spark, sf_dir):
             F.concat(F.col("p_name"), F.lit("x")).alias("s"),
         )
     )
+    # r6 verdict #1: the old plan carried BOTH string payloads through
+    # the variant-key self-join and ran distinct() over payload rows
+    # (77 s vs the 7.5 s oracle at sf1).  Now the join and the dedup
+    # move 8-byte columns only — xxhash64(v) join key, (id_a, id_b)
+    # distinct — and the strings are attached LAST by broadcast id-join
+    # for the levenshtein refine (guide §2.3 "shuffle keys, not
+    # payloads"; §8 "decide with small rows").  A 64-bit key collision
+    # can only ADD a candidate pair, and any extra pair that passes the
+    # dist<=1 refine provably shares a true variant (the deletion
+    # blocking is complete for ed<=1), so the output is bit-identical.
     dels = fix.select(
         "id",
         "s",
         F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
     ).select(
         "id",
-        "s",
-        F.concat(
-            F.expr("substr(s, 1, i - 1)"), F.expr("substr(s, i + 1)")
-        ).alias("v"),
+        F.xxhash64(
+            F.concat(F.expr("substr(s, 1, i - 1)"), F.expr("substr(s, i + 1)"))
+        ).alias("h"),
     )
-    keys = fix.select("id", "s", F.col("s").alias("v")).unionAll(dels)
-    a = keys.select(
-        F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v"
-    )
-    b = keys.select(
-        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v"
-    )
-    return (
-        a.join(b, "v")
+    keys = fix.select("id", F.xxhash64("s").alias("h")).unionAll(dels)
+    a = keys.select(F.col("id").alias("id_a"), "h")
+    b = keys.select(F.col("id").alias("id_b"), "h")
+    cand = (
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "s_a", "s_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sa = fix.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = fix.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn("dist", F.levenshtein("s_a", "s_b").cast("bigint"))
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")

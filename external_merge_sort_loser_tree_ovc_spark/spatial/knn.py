@@ -51,23 +51,58 @@ def knn_join(
     query_id: str = "query_id",
     x: str = "xi",
     y: str = "yi",
-    index_shift: int = 6,
+    index_shift: int | None = 6,
     start_radius: int = 1,
     max_rounds: int = 64,
+    target_cell_points: int = 24,
 ) -> DataFrame:
     """Exact kNN: (query_id, point_id, dist2, rank) with deterministic
     tie-break (dist2, point_id).  Coords are nonnegative integers; the
-    index cell is coord >> index_shift (cell_span = 2^index_shift)."""
+    index cell is coord >> index_shift (cell_span = 2^index_shift).
+
+    ``index_shift=None`` picks the cell span ADAPTIVELY from the point
+    density (one tiny aggregate over the cached point table): span ~
+    sqrt(area * target_cell_points / n), so the radius-1 disk holds
+    ~9 * target points at every scale — a constant tuned for one scale
+    factor otherwise explodes the candidate set at 10x the density
+    (guide §2: make partitioning scale-adaptive, not a constant).  The
+    shift NEVER affects results (the ring expansion is exact at any
+    granularity), only candidate volume and round count."""
     spark = points.sparkSession
-    span = 1 << index_shift
-    pts = points.select(
+    raw_pts = points.select(
         F.col(point_id).alias("_pid"),
         F.col(x).cast("bigint").alias("_px"),
         F.col(y).cast("bigint").alias("_py"),
-        F.shiftright(F.col(x).cast("bigint"), index_shift).alias("_pcx"),
-        F.shiftright(F.col(y).cast("bigint"), index_shift).alias("_pcy"),
     )
-    pts.cache()
+    raw_pts.cache()
+    if index_shift is None:
+        stats = raw_pts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_px").alias("x0"),
+            F.max("_px").alias("x1"),
+            F.min("_py").alias("y0"),
+            F.max("_py").alias("y1"),
+        ).collect()[0]
+        n_pts = stats["n"] or 0
+        if n_pts == 0:
+            index_shift = 6
+        else:
+            area = max(1, (stats["x1"] - stats["x0"] + 1)) * max(
+                1, (stats["y1"] - stats["y0"] + 1)
+            )
+            import math
+
+            span_f = math.sqrt(area * target_cell_points / n_pts)
+            index_shift = max(0, min(40, round(math.log2(max(1.0, span_f)))))
+    span = 1 << index_shift
+    pts = raw_pts.select(
+        "_pid",
+        "_px",
+        "_py",
+        F.shiftright(F.col("_px"), index_shift).alias("_pcx"),
+        F.shiftright(F.col("_py"), index_shift).alias("_pcy"),
+    )
+    pts = pts.cache()
 
     pending = queries.select(
         F.col(query_id).alias("_qid"),
@@ -136,6 +171,7 @@ def knn_join(
         pending = new_pending
         rounds += 1
     pts.unpersist()
+    raw_pts.unpersist()
     if best is None:
         return spark.createDataFrame(
             [], f"{query_id} long, {point_id} long, dist2 long, rank int"

@@ -415,6 +415,39 @@ def test_decontamination_plan_build_launches_no_job(spark):
     assert flagged.count() > 0
 
 
+def test_ann_plan_build_runs_only_query_block_job(spark):
+    """r6 verdict #3: the ANN gate queries used to run an extra
+    ``max(vec_id)`` scalar-aggregate job at plan-BUILD time to size the
+    query-id list.  The query block is now selected by the same modulus
+    predicate the oracle uses, so building the plan runs at most ONE job
+    — materializing the broadcast query block itself (the documented
+    filtered-collect pattern), never a second full-column aggregate."""
+    from external_merge_sort_loser_tree_ovc_spark.functions.similarity import (
+        ann_topk,
+        ann_topk_cosine_arrow,
+    )
+    from external_merge_sort_loser_tree_ovc_spark.queries import ANN_QUERY_MOD
+
+    # read OUTSIDE the probe group: parquet footer schema inference is a
+    # per-read artifact, not part of the ANN plan build under test
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = f"vec_id % {ANN_QUERY_MOD} = 0"
+    sc = spark.sparkContext
+    for fn in (ann_topk, ann_topk_cosine_arrow):
+        group = f"ann_plan_probe_{fn.__name__}"
+        sc.setJobGroup(group, "plan-build job probe")
+        try:
+            df = fn(emb, None, 5, query_pred=pred)
+            built_jobs = sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(built_jobs) <= 1, (
+            f"{fn.__name__} plan build launched jobs {built_jobs} — "
+            "max(vec_id) sizing job not folded into the plan"
+        )
+        assert df.count() > 0
+
+
 def test_cogroup_apply_rejects_key_type_mismatch(spark):
     """The plan-build contract guarding the whole cogroup pattern:
     mismatched grouping-key dataTypes are silent group mis-alignment in
