@@ -425,6 +425,8 @@ def _explode_bigrams_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFra
     this Arrow pass does the same concatenations at C-loop speed."""
     from pyspark.sql.types import StringType
 
+    from .textops import rebalance_scan
+
     out_schema = StructType(
         [StructField(id_col, LongType()), StructField("g", StringType())]
     )
@@ -447,7 +449,9 @@ def _explode_bigrams_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFra
             if ids:
                 yield pd.DataFrame({id_col: ids, "g": grams})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    return rebalance_scan(df.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def _bigrams_spark(text_col: str) -> str:
@@ -709,34 +713,62 @@ def repetition_stats(
     ``(total - distinct) * dup_den > total * dup_num`` (integer-exact,
     no float fraction).
 
-    Scale shape: one shuffle keyed on ``(id, gram)`` — the key includes
-    the document id, so no gram is ever a global hot key (unlike the
-    cross-document index in :func:`ngram_jaccard_pairs`) and partial
-    map-side aggregation absorbs within-partition repeats; then a
-    second tiny shuffle on ``id`` over the already-aggregated rows.
-    Bigrams ride the shared Arrow explode (``_explode_bigrams_arrow``);
+    Scale shape: every statistic is DOC-LOCAL, so the whole operator is
+    one narrow `mapInPandas` pass — no shuffle at all (the previous
+    shape shuffled the full (id, gram) stream twice; guide §2.4 remove
+    shuffles outright).  Gram counting is exact string counting per
+    document (collections.Counter == the oracle's GROUP BY id, g);
     NULL texts produce no rows in either engine."""
-    per_gram = (
-        _explode_bigrams_arrow(df, id_col, text_col)
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    from collections import Counter
+
+    from pyspark.sql.types import IntegerType
+
+    from .textops import rebalance_scan
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("total_bigrams", LongType()),
+            StructField("distinct_bigrams", LongType()),
+            StructField("max_gram_count", LongType()),
+            StructField("dup_flag", IntegerType()),
+        ]
     )
-    total = F.sum("c").cast("bigint")
-    distinct = F.count(F.lit(1)).cast("bigint")
-    return (
-        per_gram.groupBy(id_col)
-        .agg(
-            total.alias("total_bigrams"),
-            distinct.alias("distinct_bigrams"),
-            F.max("c").cast("bigint").alias("max_gram_count"),
-        )
-        .withColumn(
-            "dup_flag",
-            (
-                (F.col("total_bigrams") - F.col("distinct_bigrams")) * dup_den
-                > F.col("total_bigrams") * dup_num
-            ).cast("int"),
-        )
+
+    def run(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids, tot, dst, mx = [], [], [], []
+            for i, t in zip(pdf[id_col].to_numpy(dtype=np.int64), pdf[text_col]):
+                if t is None:
+                    continue
+                ws = t.split(" ")
+                if len(ws) < 2:
+                    continue
+                c = Counter(a + " " + b for a, b in zip(ws, ws[1:]))
+                ids.append(int(i))
+                tot.append(len(ws) - 1)
+                dst.append(len(c))
+                mx.append(max(c.values()))
+            if not ids:
+                continue
+            total = np.asarray(tot, dtype=np.int64)
+            distinct = np.asarray(dst, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.asarray(ids, dtype=np.int64),
+                    "total_bigrams": total,
+                    "distinct_bigrams": distinct,
+                    "max_gram_count": np.asarray(mx, dtype=np.int64),
+                    "dup_flag": (
+                        (total - distinct) * dup_den > total * dup_num
+                    ).astype(np.int32),
+                }
+            )
+
+    return rebalance_scan(df.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=out_schema
     )
 
 

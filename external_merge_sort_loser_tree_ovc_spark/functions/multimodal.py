@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from .textops import rebalance_scan
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -127,7 +129,7 @@ def decode_media(
             out.insert(0, "media_id", pdf[id_col].to_numpy(dtype=np.int64))
             yield out
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=DECODE_SCHEMA)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 # --- REAL decode path: PPM (P6) ---------------------------------------------
@@ -204,7 +206,7 @@ def decode_ppm_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 columns=["media_id", "width", "height", "mean2_r", "mean2_g", "mean2_b"],
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=PPM_DECODE_SCHEMA)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=PPM_DECODE_SCHEMA)
 
 
 def with_synth_ppm(df: DataFrame, id_col: str, out_col: str = "ppm") -> DataFrame:
@@ -222,7 +224,7 @@ def with_synth_ppm(df: DataFrame, id_col: str, out_col: str = "ppm") -> DataFram
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             yield pd.DataFrame({"media_id": ids, out_col: synth_ppm(ids)})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def ppm_decode_oracle_sql(table: str, id_col: str) -> str:
@@ -426,7 +428,7 @@ def decode_png_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 columns=["media_id", "width", "height", "mean2_r", "mean2_g", "mean2_b"],
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=PPM_DECODE_SCHEMA)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=PPM_DECODE_SCHEMA)
 
 
 def with_synth_png(df: DataFrame, id_col: str, out_col: str = "png") -> DataFrame:
@@ -444,7 +446,7 @@ def with_synth_png(df: DataFrame, id_col: str, out_col: str = "png") -> DataFram
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             yield pd.DataFrame({"media_id": ids, out_col: synth_png(ids)})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def png_decode_oracle_sql(table: str, id_col: str) -> str:
@@ -559,7 +561,7 @@ def decode_wav_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 columns=["media_id", "sample_rate", "n_samples", "mean2", "peak"],
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=WAV_DECODE_SCHEMA)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=WAV_DECODE_SCHEMA)
 
 
 def with_synth_wav(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFrame:
@@ -576,7 +578,7 @@ def with_synth_wav(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFram
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             yield pd.DataFrame({"media_id": ids, out_col: synth_wav(ids)})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def wav_decode_oracle_sql(table: str, id_col: str) -> str:
@@ -639,7 +641,7 @@ def resize_ppm_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 ],
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=schema)
 
 
 def resize_ppm_oracle_sql(table: str, id_col: str) -> str:
@@ -698,7 +700,7 @@ def frame_sample(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=schema)
 
 
 # --- REAL decode path: YUV4MPEG2 (y4m) raw video + frame sampling --------------
@@ -813,7 +815,7 @@ def sample_y4m_media(
                 ],
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=Y4M_SAMPLE_SCHEMA)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=Y4M_SAMPLE_SCHEMA)
 
 
 def with_synth_y4m(df: DataFrame, id_col: str, out_col: str = "y4m") -> DataFrame:
@@ -830,7 +832,7 @@ def with_synth_y4m(df: DataFrame, id_col: str, out_col: str = "y4m") -> DataFram
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             yield pd.DataFrame({"media_id": ids, out_col: synth_y4m(ids)})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def y4m_sample_oracle_sql(table: str, id_col: str) -> str:
@@ -1232,7 +1234,7 @@ def decode_jpeg_media(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 rows, columns=["media_id", "width", "height", "n_blocks", "px_sum"]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=JPEG_DECODE_SCHEMA)
+    return rebalance_scan(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=JPEG_DECODE_SCHEMA)
 
 
 def with_synth_jpeg(df: DataFrame, id_col: str, out_col: str = "jpg") -> DataFrame:
@@ -1250,7 +1252,7 @@ def with_synth_jpeg(df: DataFrame, id_col: str, out_col: str = "jpg") -> DataFra
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             yield pd.DataFrame({"media_id": ids, out_col: synth_jpeg(ids)})
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    return rebalance_scan(df.select(id_col), id_col).mapInPandas(run, schema=schema)
 
 
 def jpeg_decode_oracle_sql(table: str, id_col: str) -> str:

@@ -354,9 +354,11 @@ def ann_topk_cosine_arrow(
             if res:
                 yield pd.concat(res, ignore_index=True)
 
-    from .textops import rebalance_scan
-
-    src = rebalance_scan(vectors.select(id_col, vec_col), id_col)
+    # NOTE: no rebalance here — q_ann_cosine carries a plan contract
+    # (test_ann_cosine_gate_plan) that the big side feeds MapInPandas
+    # with no Exchange below it; the BLAS Gram matmul makes the 2-split
+    # local case cheap anyway
+    src = vectors.select(id_col, vec_col)
     cand = src.mapInPandas(batch_topk, schema=out_schema)
     ck = (
         F.signum("dot") * F.col("dot") * F.col("dot")
@@ -726,7 +728,9 @@ def _neardup_lsh(vectors, dist2_max, *, id_col, vec_col, n_planes, max_probe_pla
 
         return bucketize
 
-    src = vectors.select(id_col, vec_col)
+    from .textops import rebalance_scan
+
+    src = rebalance_scan(vectors.select(id_col, vec_col), id_col)
     # home_df feeds BOTH the probe-band bucket cogroup and the over-cap
     # fallback grid cogroup below — persist it so the whole-table
     # quantize+project mapInPandas pass runs once per action, not once

@@ -12,6 +12,8 @@ fully pipelined with the parquet scan; column pruning means only
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -34,12 +36,20 @@ _POW31 = np.array([31**i for i in range(8)], dtype=np.int64)
 
 def rebalance_scan(df: DataFrame, key_col: str) -> DataFrame:
     """Hash-repartition ``df`` up to the core count when its natural
-    split count is lower (guide §2/§6: a few-MB parquet file packs into
-    1-2 scan splits under openCostInBytes, so everything narrow that
-    follows runs on 2 of 32 cores).  Scale-adaptive by construction: at
-    real scale the scan already has >= cores splits and this is a no-op
-    — no shuffle is ever added for big inputs.  The key is a stable
-    column hash (deterministic under task retry, unlike round-robin)."""
+    partitioning is narrower (guide §2/§6).
+
+    Why a real repartition and not a file-split conf: the small local
+    parquet fixtures hold ONE row group, and parquet byte-range splits
+    cannot subdivide a row group — lowering ``openCostInBytes`` was
+    measured to produce 32 tasks of which 31 read zero rows while one
+    straggler read everything (worse than the 2-way split it replaced).
+    Only a shuffle actually redistributes a single-row-group file.
+
+    Scale-adaptive by construction: a real-scale input arrives with
+    >= cores partitions (many row groups / files), the condition is
+    false, and NO Exchange is added — the at-scale plan contracts in
+    tests/test_plan_shapes.py stay true.  The key is a stable column
+    hash (deterministic under task retry, unlike round-robin)."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:

@@ -371,18 +371,22 @@ def salted_repartition_by_range(
         # is exactly reproducible.  If the cap ever truncates, bounds
         # may differ between runs and the kernel's fingerprint-verified
         # resume safely recomputes instead of replaying.
-        rows = (
+        # Arrow collect (toPandas): the row-based py4j collect measured
+        # ~0.4 s for the same sample; the composite fold is vectorized
+        pdf = (
             src.select(
                 F.col(keys[0]).cast("bigint").alias("_k"), F.col(salt_col).alias("_s")
             )
+            # null keys dropped SPARK-side so the collected column stays
+            # int64 (a NaN would coerce it to float64 and corrupt keys
+            # past 2^53); null rows route to bucket 0 anyway
+            .filter(F.col("_k").isNotNull())
             .limit(1 << 18)
-            .collect()
+            .toPandas()
         )
-        return sorted(
-            int(r["_k"]) * salt_buckets + int(r["_s"])
-            for r in rows
-            if r["_k"] is not None
-        )
+        ks = pdf["_k"].to_numpy(dtype="int64")
+        ss = pdf["_s"].to_numpy(dtype="int64")
+        return sorted(int(k) * salt_buckets + int(s) for k, s in zip(ks, ss))
 
     vals = _collect_composites(samp)
     if len(vals) < 4 * n:  # degenerate tiny input: use the full data

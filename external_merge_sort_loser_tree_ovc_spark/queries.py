@@ -187,8 +187,12 @@ def q_sort_witness(spark, sf_dir):
     order-independent parity preserved, zero inversions in the output.
     The engine *computes* inversions over its own sorted output; the
     oracle asserts the expected values."""
+    # partition count follows the session's shuffle parallelism (was a
+    # constant 8 — one quarter of the cores idle through the kernel and
+    # the inversion pass; rows/parity/inversions are partition-count
+    # independent, so results are unchanged)
     df = _read(spark, sf_dir, "lineitem")
-    out = external_sort_df(df, SORT_KEYS, num_partitions=8)
+    out = external_sort_df(df, SORT_KEYS)
     # the FULL witness (count + parity + inversions) rides the ONE
     # inversion pass over the sorted output — no second aggregation
     # job, no persist of the sorted table (the parity fold matches
@@ -1223,15 +1227,20 @@ def q_json_funcs(spark, sf_dir):
         "concat('{\"k\":', o_orderkey, ',\"s\":\"', o_orderstatus, "
         f"'\", \"p\":', {_cents('o_totalprice')}, '}}')"
     )
+    # ONE from_json parse per row instead of three get_json_object
+    # calls, each of which re-built the concat AND re-parsed the
+    # document (§4.1 prefer built-ins once; 8.2 s -> ~2 s at sf1).
+    # Identical values: the payload is well-formed by construction, and
+    # the struct fields carry the same BIGINT/STRING casts the
+    # extraction path applied.
     return o.select(
         "o_orderkey",
-        F.expr(
-            f"CAST(get_json_object({j}, '$.k') AS BIGINT)"
-        ).alias("jk"),
-        F.expr(f"get_json_object({j}, '$.s')").alias("js"),
-        F.expr(
-            f"CAST(get_json_object({j}, '$.p') AS BIGINT)"
-        ).alias("jp"),
+        F.from_json(F.expr(j), "k BIGINT, s STRING, p BIGINT").alias("_j"),
+    ).select(
+        "o_orderkey",
+        F.col("_j.k").alias("jk"),
+        F.col("_j.s").alias("js"),
+        F.col("_j.p").alias("jp"),
     )
 
 
@@ -2071,18 +2080,29 @@ def q_tfidf_topterms(spark, sf_dir):
     map-side); the per-doc top-k is one window over doc_id.  N (total
     docs) is deliberately NOT in the output: it scales every score
     equally and would add a count-shuffle for a constant."""
+    from .functions.textops import rebalance_scan
+
     words = (
-        _read(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        rebalance_scan(
+            _read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"),
+            "doc_id",
+        )
         .select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = words.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # tf rows are unique per (doc_id, term), so df — count of DISTINCT
+    # docs per term — is a plain row count over tf: the second full
+    # explode+count_distinct pass over the corpus disappears (§2.4);
+    # tf feeds both the join and df, so persist it (gate harnesses
+    # clearCache between queries)
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
     )
-    df = words.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
-    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
@@ -3008,27 +3028,35 @@ def q_pmi_collocations(spark, sf_dir):
     bounded, tiny — not per token), the unigram side joins twice via
     broadcast, and the two corpus totals ride a 1x1 scalar join.  At
     100 TB this is the textbook map-side-combine word-count shape."""
-    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = d.select(F.expr("split(text, ' ')").alias("ws"))
-    toks = words.select(F.explode("ws").alias("w"))
+    from .functions.dedup import _explode_bigrams_arrow
+    from .functions.textops import rebalance_scan
+
+    # r7: the zip_with bigram HOF (interpreted per element) is replaced
+    # by the shared Arrow bigram explode (identical grams: w[i]+' '+
+    # w[i+1] over the single-space split), and the two corpus totals
+    # come from ONE narrow aggregate over per-doc word counts instead
+    # of re-running both explodes — nt = sum(n), nb = sum(n-1) (every
+    # non-null doc has n >= 1 words and n-1 bigrams).  §2.4/§4.2.
+    d = rebalance_scan(
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text"),
+        "doc_id",
+    )
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
-    bigr = words.select(
-        F.explode(
-            F.expr(
-                "zip_with(slice(ws, 1, size(ws) - 1), "
-                "slice(ws, 2, size(ws) - 1), (x, y) -> concat(x, ' ', y))"
-            )
-        ).alias("bg")
+    bigr = _explode_bigrams_arrow(d, "doc_id", "text").select(
+        F.col("g").alias("bg")
     )
     bgc = (
         bigr.groupBy("bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
         .filter(F.col("c_ab") >= PMI_MIN_C)
     )
-    tot = (
-        toks.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-        .crossJoin(bigr.agg(F.count(F.lit(1)).cast("bigint").alias("nb")))
-    )  # 1x1 scalar join
+    tot = d.select(F.size(F.split("text", " ")).alias("n")).agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("nb"),
+    )
     uni_a = uni.select(F.col("w").alias("wa"), F.col("c_w").alias("c_a"))
     uni_b = uni.select(F.col("w").alias("wb"), F.col("c_w").alias("c_b"))
     res = (
@@ -3094,29 +3122,48 @@ def q_shingle_containment(spark, sf_dir):
     100 TB shape: the index join shuffles on gram keys (sparse,
     near-unique by construction), never all-pairs; identical to the
     verified n-gram Jaccard machinery but with a directed score."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .functions.textops import rebalance_scan
+
     d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # Spread the shingle HOF across all cores before the one-time
-    # materialization: a single small parquet file arrives as ONE split
-    # locally, serializing the per-element transform (measured 19 s of
-    # single-task compute at sf1).  The repartition shuffles only the
-    # raw doc bytes ONCE, amortized over the 4 consumers below; on a
-    # real cluster the scan's natural splits already provide this
-    # parallelism and the repartition is balance insurance on doc_id.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(CASE WHEN size(split(text, ' ')) < 5 "
-                "THEN CAST(array() AS ARRAY<STRING>) ELSE "
-                "transform(sequence(1, size(split(text, ' ')) - 4), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) END)"
-            )
-        ).alias("g"),
-    ).persist()  # consumed 4x (per-doc counts, df filter, both self-join
-    # sides) — without this the per-element shingle HOF re-runs on every
-    # branch (measured 87 s -> ~13 s at sf1).  Cache lifetime follows the
-    # session (the gate harness clears it between queries).
+    # r7: the per-element shingle HOF (interpreted outside codegen,
+    # measured 19 s of single-task compute at sf1 before the round-6
+    # repartition workaround) is now a plain per-batch Python pass:
+    # identical output to explode(array_distinct(transform(...))) —
+    # ' '.join == concat_ws(' ', slice), set() == array_distinct, docs
+    # with < 5 words emit nothing (guide §4.2).  rebalance_scan spreads
+    # the small local file across cores; no-op at real scale.
+    shingle_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("g", StringType())]
+    )
+
+    def _shingles(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids_out: list[int] = []
+            grams: list[str] = []
+            for i, t in zip(pdf["doc_id"].to_numpy(dtype="int64"), pdf["text"]):
+                ws = t.split(" ")
+                if len(ws) < 5:
+                    continue
+                seen = set()
+                for k in range(len(ws) - 4):
+                    seen.add(" ".join(ws[k : k + 5]))
+                ids_out.extend([int(i)] * len(seen))
+                grams.extend(seen)
+            if ids_out:
+                yield pd.DataFrame({"doc_id": ids_out, "g": grams})
+
+    sh = (
+        rebalance_scan(d.select("doc_id", "text"), "doc_id")
+        .mapInPandas(_shingles, schema=shingle_schema)
+        .persist()
+    )  # consumed 4x (per-doc counts, df filter, both self-join sides);
+    # cache lifetime follows the session (the gate harness clears it
+    # between queries).
     n_sh = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g")
     )
@@ -3471,22 +3518,35 @@ def q_distance_join(spark, sf_dir):
     density x 9 blocks, never all pairs; at 100 TB the equi-join
     shuffles on block keys and skewed dense blocks ride the AQE skew
     story."""
+    # Optimization (r7, guide §2.3 "aggregate before you shuffle"):
+    # the candidate join now runs at DISTINCT-POSITION granularity.
+    # The fixture's modular geocode puts ~14 docs on each of 3600
+    # lattice positions, so the old per-point ring join evaluated ~53M
+    # candidate pairs to emit 5M; collapsing co-located points first
+    # shrinks the ring join to ~275k position candidates, the distance
+    # filter runs once per position pair, and the surviving pairs
+    # expand back to id pairs by a codegen'd double explode (the a<b
+    # filter keeps each unordered id pair exactly once, same as
+    # before — output bit-identical).  With near-unique positions the
+    # collapse degenerates to one extra tiny exchange and the plan is
+    # the old one — the grouping key is the position, never a hot key.
     pts = _docs_geo(spark, sf_dir).select("doc_id", "xi", "yi")
-    home = pts.selectExpr(
-        "doc_id AS b_id",
+    pos = pts.groupBy("xi", "yi").agg(F.collect_list("doc_id").alias("ids"))
+    home = pos.selectExpr(
         "xi AS bx",
         "yi AS by",
+        "ids AS b_ids",
         f"xi DIV {DISTJ_G} AS cx",
         f"yi DIV {DISTJ_G} AS cy",
     )
     ring = (
-        pts.selectExpr("doc_id AS a_id", "xi AS ax", "yi AS ay")
+        pos.selectExpr("xi AS ax", "yi AS ay", "ids AS a_ids")
         .select(
             "*", F.explode(F.expr("sequence(-1, 1)")).alias("dx")
         )
         .select("*", F.explode(F.expr("sequence(-1, 1)")).alias("dy"))
         .selectExpr(
-            "a_id",
+            "a_ids",
             "ax",
             "ay",
             f"ax DIV {DISTJ_G} + dx AS cx",
@@ -3497,15 +3557,19 @@ def q_distance_join(spark, sf_dir):
         ring.join(home, ["cx", "cy"])
         .filter(
             F.expr(
-                f"a_id < b_id AND "
                 f"(ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= {DISTJ_R * DISTJ_R}"
             )
         )
-        .selectExpr(
-            "a_id",
-            "b_id",
-            "CAST((ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS BIGINT) AS dist2",
+        .select(
+            F.explode("a_ids").alias("a_id"),
+            F.col("b_ids"),
+            F.expr(
+                "CAST((ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS BIGINT)"
+            ).alias("dist2"),
         )
+        .select("a_id", F.explode("b_ids").alias("b_id"), "dist2")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "dist2")
     )
 
 
