@@ -1736,7 +1736,14 @@ def q_pii_scrub(spark, sf_dir):
     counts, so the gate verifies both the redaction and the counting.
     (Spark regexp_replace replaces globally by default; DuckDB needs
     the 'g' flag — the Dialect shim handles it.)"""
-    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from .functions.textops import rebalance_scan
+
+    # the Java-regex chain is the cost — spread the single-row-group
+    # local file across cores first (no-op at real scale)
+    d = rebalance_scan(
+        _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "doc_id",
+    )
     msg = f"(text || {PII_TAIL_SQL})"
     scrub = _SPARK.regexp_replace(
         _SPARK.regexp_replace(msg, PII_EMAIL_RE, "<EMAIL>"),
