@@ -520,26 +520,46 @@ def cosine_neardup_pairs(
     should call ``.unpersist()`` on the returned DataFrame's
     ``_emsort_persisted_src`` attribute (exposed for exactly this)
     after the consuming action, or clear the cache themselves."""
-    from .texthash import Dialect
+    from pyspark.sql.types import ArrayType, DoubleType
 
-    d = Dialect("spark")
-    # norm2 is hoisted to its OWN column before the per-element lambda
-    # references it: inlining the aggregate into the lambda body makes
-    # Catalyst re-evaluate it per ELEMENT (dim^2 interpreted HOF evals
-    # per row — the exact trap the Arrow cosine path exists to avoid)
+    from .textops import rebalance_scan
+
+    # r7: the normalization runs as a vectorized NumPy batch pass
+    # instead of the per-element Catalyst HOF (interpreted: dim
+    # lambda evals per row — ~13M at sf1, the query's dominant cold
+    # cost).  Identical arithmetic: exact int64 quantize + square-sum,
+    # one correctly-rounded sqrt and one correctly-rounded divide of
+    # exact doubles — NumPy, Spark and DuckDB all produce the same
+    # IEEE-754 results, so the derived vectors (and the pair set) are
+    # bit-identical.  Zero vectors map to the origin, as before.
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def _normalize(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            n2 = (q * q).sum(axis=1)
+            denom = np.sqrt(n2.astype(np.float64))
+            denom[n2 == 0] = 1.0  # zero vector -> origin (0/1 = 0)
+            e = q.astype(np.float64) / denom[:, None]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: list(e),
+                }
+            )
+
     src = (
-        vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.expr(_norm2_int_expr(d, vec_col)).alias("_n2"),
-        )
-        .select(
-            F.col(id_col),
-            F.expr(_normalize_expr(d, vec_col, "_n2")).alias(vec_col),
-        )
-        # persist: the normalization is interpreted per ELEMENT (HOF)
-        # and the near-dup engine consumes its source once per band
-        # side — without this the dim-wide lambdas re-run 2-3x.
+        rebalance_scan(vectors.select(id_col, vec_col), id_col)
+        .mapInPandas(_normalize, schema=out_schema)
+        # persist: the near-dup engine consumes its source once per
+        # band side — without this the normalization re-runs 2-3x.
         # Lifetime: see PERSIST CONTRACT in the docstring.
         .persist()
     )

@@ -149,6 +149,20 @@ def range_partition_fixed_bounds(
         return df.repartition(1)
     if not all(dtypes.get(k) in _SORTABLE_BOUND_TYPES for k in keys):
         return None
+    # Size gate: the win over repartitionByRange is avoiding its second
+    # full-payload evaluation, which only matters when the payload is
+    # big; below the threshold the extra sample/identity jobs cost more
+    # than they save (measured +0.5 s at sf0.1 vs -2 s at sf1), so
+    # small inputs keep Spark's native path.  Catalyst's sizeInBytes
+    # estimate needs no job.
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 1 << 60  # unknown: assume big (the at-scale default)
+    if est < int(
+        os.environ.get("SPARK_GRAFT_RANGE_BOUNDS_MIN_BYTES", str(64 << 20))
+    ):
+        return None
     spark = df.sparkSession
     keyproj = df.select(*keys)
     samp = (
