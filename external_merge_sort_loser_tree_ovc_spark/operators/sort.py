@@ -164,37 +164,46 @@ def range_partition_fixed_bounds(
     ):
         return None
     spark = df.sparkSession
-    keyproj = df.select(*keys)
-    samp = (
-        keyproj.filter(
-            F.pmod(
-                F.xxhash64(*[F.col(k) for k in keys], F.lit(7919)),
-                F.lit(sample_mod),
-            )
-            == 0
-        )
-        .limit(sample_cap)
-        .toPandas()
-    )
-    if len(samp) < 4 * n:  # degenerate tiny input: use the full key set
-        samp = keyproj.limit(sample_cap).toPandas()
-    if len(samp) == 0:
-        return df.repartition(n)
+    # Bounds memo: like _IDENTITY_KEYS_CACHE, partitioning METADATA is
+    # process-cacheable — bounds never affect results (any monotone
+    # bucketing yields the same sorted output), only balance, so a
+    # repeat call on the same (keys, n, size-estimate) skips the sample
+    # job.  Never persisted across processes; never caches data.
+    memo_key = (tuple(keys), n, est)
+    bounds = _BOUNDS_CACHE.get(memo_key)
     xs = _identity_shuffle_keys(spark, n)
     if xs is None:
         return None
-    recs = [
-        tuple(
-            None
-            if pd.isna(v)
-            else (v.item() if hasattr(v, "item") else v)
-            for v in row
+    if bounds is None:
+        keyproj = df.select(*keys)
+        samp = (
+            keyproj.filter(
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in keys], F.lit(7919)),
+                    F.lit(sample_mod),
+                )
+                == 0
+            )
+            .limit(sample_cap)
+            .toPandas()
         )
-        for row in samp.itertuples(index=False)
-    ]
-    vals = sorted(recs, key=_py_bound_key)
-    m = len(vals)
-    bounds = [vals[(i * (m - 1)) // n] for i in range(1, n)]
+        if len(samp) < 4 * n:  # degenerate tiny input: use the full key set
+            samp = keyproj.limit(sample_cap).toPandas()
+        if len(samp) == 0:
+            return df.repartition(n)
+        recs = [
+            tuple(
+                None
+                if pd.isna(v)
+                else (v.item() if hasattr(v, "item") else v)
+                for v in row
+            )
+            for row in samp.itertuples(index=False)
+        ]
+        vals = sorted(recs, key=_py_bound_key)
+        m = len(vals)
+        bounds = [vals[(i * (m - 1)) // n] for i in range(1, n)]
+        _BOUNDS_CACHE[memo_key] = bounds
 
     st = F.struct(*[F.col(k) for k in keys])
 
@@ -269,6 +278,7 @@ def external_sort_df(
 
 _NUMERIC_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _IDENTITY_KEYS_CACHE: dict[int, list[int]] = {}
+_BOUNDS_CACHE: dict[tuple, list[tuple]] = {}
 
 
 def _identity_shuffle_keys(spark, n: int) -> list[int] | None:
