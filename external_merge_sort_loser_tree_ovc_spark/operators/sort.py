@@ -114,6 +114,53 @@ def _py_bound_key(vals: tuple) -> tuple:
     return tuple(out)
 
 
+def _pyarrow_key_sample(
+    df: DataFrame,
+    keys: list[str],
+    cap_rows: int,
+    max_bytes: int = 1 << 30,
+) -> "pd.DataFrame | None":
+    """Driver-side stride sample of the scan's key columns via pyarrow
+    (see call site).  Returns None whenever the input is not a modest
+    set of local parquet files carrying the key columns — callers fall
+    back to the distributed sample."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 64:
+        return None
+    paths = []
+    for f in files:
+        if f.startswith("file:"):
+            f = f[5:]
+            while f.startswith("//"):
+                f = f[1:]
+        if not f.startswith("/") or not f.endswith(".parquet"):
+            return None
+        paths.append(f)
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if sum(os.path.getsize(p) for p in paths) > max_bytes:
+            return None
+        tables = []
+        for p in paths:
+            pf = pq.ParquetFile(p)
+            if not set(keys) <= set(pf.schema_arrow.names):
+                return None
+            tables.append(pq.read_table(p, columns=list(keys)))
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return None
+        step = max(1, t.num_rows // cap_rows)
+        idx = pa.array(range(0, t.num_rows, step))
+        return t.take(idx).to_pandas()[list(keys)]
+    except Exception:
+        return None
+
+
 def range_partition_fixed_bounds(
     df: DataFrame,
     keys: list[str],
@@ -175,20 +222,30 @@ def range_partition_fixed_bounds(
     if xs is None:
         return None
     if bounds is None:
-        keyproj = df.select(*keys)
-        samp = (
-            keyproj.filter(
-                F.pmod(
-                    F.xxhash64(*[F.col(k) for k in keys], F.lit(7919)),
-                    F.lit(sample_mod),
+        # fast path: stride-sample the key columns straight from the
+        # scan's parquet files on the driver — no Spark job, no
+        # first-call codegen JIT for the sample plan (measured 2.9 s of
+        # the first q_sort call).  Capped by total file bytes; any
+        # mismatch (non-file source, renamed keys, too big) falls back
+        # to the distributed hash sample.  A stride sample of a file in
+        # any order is a valid bounds source — bounds affect balance
+        # only.
+        samp = _pyarrow_key_sample(df, keys, sample_cap)
+        if samp is None:
+            keyproj = df.select(*keys)
+            samp = (
+                keyproj.filter(
+                    F.pmod(
+                        F.xxhash64(*[F.col(k) for k in keys], F.lit(7919)),
+                        F.lit(sample_mod),
+                    )
+                    == 0
                 )
-                == 0
+                .limit(sample_cap)
+                .toPandas()
             )
-            .limit(sample_cap)
-            .toPandas()
-        )
-        if len(samp) < 4 * n:  # degenerate tiny input: use the full key set
-            samp = keyproj.limit(sample_cap).toPandas()
+            if len(samp) < 4 * n:  # degenerate tiny input: full key set
+                samp = keyproj.limit(sample_cap).toPandas()
         if len(samp) == 0:
             return df.repartition(n)
         recs = [

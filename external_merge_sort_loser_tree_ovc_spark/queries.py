@@ -916,7 +916,16 @@ def q_revenue_by_nation(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.sum("rev_c").alias("rev_c"), F.count(F.lit(1)).alias("n_items"))
     )
-    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # SHUFFLE_HASH on the 2-int orders projection (guide §3.1): both
+    # sides shuffle either way, but the hash build skips the two 1.5M-
+    # row sorts SMJ pays (A/B: 1.55 vs 2.05 s at sf1).  Per-partition
+    # build size is orders-rows/shuffle-partitions — bounded at any
+    # scale by partition sizing (AQE advisory size), not by total rows.
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .hint("shuffle_hash")
+    )
     cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
@@ -2179,42 +2188,56 @@ def q_fuzzy_join(spark, sf_dir):
             F.concat(F.col("p_name"), F.lit("x")).alias("s"),
         )
     )
-    # r6 verdict #1: the old plan carried BOTH string payloads through
-    # the variant-key self-join and ran distinct() over payload rows
-    # (77 s vs the 7.5 s oracle at sf1).  Now the join and the dedup
-    # move 8-byte columns only — xxhash64(v) join key, (id_a, id_b)
-    # distinct — and the strings are attached LAST by broadcast id-join
-    # for the levenshtein refine (guide §2.3 "shuffle keys, not
-    # payloads"; §8 "decide with small rows").  A 64-bit key collision
-    # can only ADD a candidate pair, and any extra pair that passes the
-    # dist<=1 refine provably shares a true variant (the deletion
-    # blocking is complete for ed<=1), so the output is bit-identical.
-    dels = fix.select(
-        "id",
+    # r6 verdict #1 + r7: two payload-routing fixes over the round-6
+    # plan (77 s vs the 7.5 s oracle at sf1).
+    #
+    # 1. The candidate join runs at DISTINCT-STRING granularity (§2.3
+    #    aggregate-before-shuffle): the fixture's part names repeat
+    #    ~312x at sf1, so the id-level variant join evaluated ~155M
+    #    candidate id pairs where only ~10^4 distinct NAME pairs exist.
+    #    Collapsing to (name -> id list) first makes the deletion
+    #    explode, the variant equi-join, the dedup and the levenshtein
+    #    refine all run once per distinct name (pair), and the
+    #    surviving name pairs expand back to id pairs by a codegen'd
+    #    double explode with the same a<b filter.  With near-unique
+    #    names the collapse degenerates to one tiny extra exchange.
+    # 2. The variant join key is xxhash64(v), 8 bytes, never the
+    #    variant string (§2.3 "shuffle keys, not payloads").  A 64-bit
+    #    collision can only ADD a candidate name pair, and any added
+    #    pair passing the dist<=1 refine provably shares a true
+    #    deletion variant (the blocking is complete for ed<=1), so the
+    #    output is bit-identical.
+    #
+    # The name-pair join keeps BOTH orientations (no id filter exists
+    # at name level), so (u,v) contributes pairs a-in-u < b-in-v and
+    # (v,u) the converse — together exactly the old a<b id pair set;
+    # the same-name pair (u,u) appears once and expands to its a<b
+    # pairs once.
+    names = fix.groupBy("s").agg(F.collect_list("id").alias("ids"))
+    dels = names.select(
         "s",
         F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
     ).select(
-        "id",
+        "s",
         F.xxhash64(
             F.concat(F.expr("substr(s, 1, i - 1)"), F.expr("substr(s, i + 1)"))
         ).alias("h"),
     )
-    keys = fix.select("id", F.xxhash64("s").alias("h")).unionAll(dels)
-    a = keys.select(F.col("id").alias("id_a"), "h")
-    b = keys.select(F.col("id").alias("id_b"), "h")
-    cand = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = fix.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = fix.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    vkeys = names.select("s", F.xxhash64("s").alias("h")).unionAll(dels)
+    a = vkeys.select(F.col("s").alias("s_a"), "h")
+    b = vkeys.select(F.col("s").alias("s_b"), "h")
+    cand = a.join(b, "h").select("s_a", "s_b").distinct()
+    scored = cand.withColumn(
+        "dist", F.levenshtein("s_a", "s_b").cast("bigint")
+    ).filter(F.col("dist") <= 1)
+    ia = names.select(F.col("s").alias("s_a"), F.col("ids").alias("ids_a"))
+    ib = names.select(F.col("s").alias("s_b"), F.col("ids").alias("ids_b"))
     return (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("bigint"))
-        .filter(F.col("dist") <= 1)
+        scored.join(ia, "s_a")
+        .join(ib, "s_b")
+        .select(F.explode("ids_a").alias("id_a"), "ids_b", "dist")
+        .select("id_a", F.explode("ids_b").alias("id_b"), "dist")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "dist")
     )
 
