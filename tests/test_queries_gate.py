@@ -69,6 +69,53 @@ def test_query_matches_oracle(spark, duck, name):
             )
 
 
+def test_registry_driver_window_contract():
+    """r6 verdict #7: pin the driver-window invariants directly so the
+    round-5 starvation regression (queries that had never had a
+    driver-green row sorting OUTSIDE the 50-row window) cannot silently
+    recur.  The driver evaluates ``list(QUERIES)[:50]``:
+
+    1. every window entry must carry an oracle (a rows-only row wastes
+       a window slot the hash-checked queries need);
+    2. every registered query that has never had a fully-green driver
+       row (across all committed CORRECTNESS_r*.json) must sort into
+       the window — except the two approximate-by-design indexes,
+       which CANNOT be hash-green and whose recall derivatives are
+       oracle-gated instead."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = list(QUERIES)
+    window = set(names[:50])
+    assert window <= set(ORACLES), sorted(window - set(ORACLES))
+
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        with open(f) as fh:
+            doc = json.load(fh)
+        for k, v in doc.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("hash_match")
+                and not v.get("err")
+            ):
+                green.add(k)
+    assert green, "no CORRECTNESS_r*.json history found"
+    approximate_rows_only = {"q_ann_lsh", "q_ann_ivf"}
+    starved = [
+        n
+        for n in names
+        if n not in green and n not in window and n not in approximate_rows_only
+    ]
+    assert starved == [], (
+        f"queries with no historical driver-green row outside the "
+        f"50-row driver window: {starved}"
+    )
+
+
 def test_all_queries_have_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
     # only genuinely approximate/non-SQL ops may omit the oracle
